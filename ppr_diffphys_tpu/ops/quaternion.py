@@ -266,15 +266,13 @@ def quat_twist(axis: jax.Array, q: jax.Array) -> jax.Array:
 def quat_twist_angle(axis: jax.Array, q: jax.Array) -> jax.Array:
     """Signed rotation angle of q about `axis` via swing-twist.
 
-    Mirrors diffphys/integrator_euler.py:397-400 (acos-based, clamped so the
-    gradient stays finite at |w|=1).
+    Equal to the reference's acos-based formula
+    (diffphys/integrator_euler.py:397-400) but written with atan2, which is
+    smooth with well-defined gradients at zero twist — the acos form has a
+    gradient singularity at |w|=1 that the reference scrubs post-hoc.
     """
-    tw = quat_twist(axis, q)
-    w = jnp.clip(tw[..., 3], -1.0 + 1e-7, 1.0 - 1e-7)
-    sign = jnp.sign(jnp.sum(axis * tw[..., :3], axis=-1))
-    # sign(0) = 0 would kill the angle at exactly zero twist; that is the
-    # correct limit (angle is 0 there anyway).
-    return 2.0 * jnp.arccos(w) * sign
+    s = jnp.sum(q[..., :3] * axis, axis=-1)
+    return 2.0 * jnp.arctan2(s, q[..., 3])
 
 
 def rot_angle(m: jax.Array) -> jax.Array:
