@@ -1,0 +1,100 @@
+"""Training CLI — reference-compatible (mirrors /root/reference/main.py).
+
+python main.py --urdf_template laikago --seqname mi-pace --logname 0
+
+Round-based loop: per round, checkpoint -> full-sequence eval + video ->
+train iters on windowed envs with gradient accumulation, grad-safety and
+tensorboard logging. Flags carry the reference names (main.py:15-47).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from absl import app, flags
+
+flags.DEFINE_integer("local_rank", 0, "for distributed training")
+flags.DEFINE_integer("ngpu", 1, "number of devices to use")
+flags.DEFINE_integer("accu_steps", 1, "gradient accumulation steps")
+flags.DEFINE_string("seqname", "mi-pace", "name of the sequence")
+flags.DEFINE_string("logroot", "logdir/", "root directory for output")
+flags.DEFINE_string("logname", "dynamics", "experiment name")
+flags.DEFINE_float("phys_learning_rate", 1e-4, "learning rate")
+flags.DEFINE_integer("num_rounds", 5, "total update rounds")
+flags.DEFINE_integer("warmup_iters", 0, "warmup iterations (DR+DP only)")
+flags.DEFINE_string("urdf_template", "laikago", "robot template")
+flags.DEFINE_integer("num_freq", 10, "fourier frequencies")
+flags.DEFINE_integer("t_embed_dim", 128, "pose code dim")
+flags.DEFINE_integer("iters_per_round", 20, "iters per round")
+flags.DEFINE_float("ratio_phys_cycle", 1.0, "fraction of iters for physics")
+flags.DEFINE_float("noise_std", 2e-3, "init-state noise std")
+flags.DEFINE_float("traj_wt", 0.01, "traj matching weight")
+flags.DEFINE_float("pos_state_wt", 0.01, "position matching weight")
+flags.DEFINE_float("vel_state_wt", 1e-4, "velocity matching weight")
+flags.DEFINE_float("pos_distill_wt", 0.0, "kinematics distillation weight")
+flags.DEFINE_float("reg_torque_wt", 0.0, "torque regularization")
+flags.DEFINE_float("reg_res_f_wt", 0.0, "residual force regularization")
+flags.DEFINE_float("reg_foot_wt", 0.0, "foot contact regularization")
+flags.DEFINE_float("reg_root_wt", 0.0, "root pose regularization")
+flags.DEFINE_string("datadir", "/root/reference/data/motion_sequences", "mocap dir")
+flags.DEFINE_string("urdf_dir", "/root/reference/data/urdf_templates", "urdf dir")
+flags.DEFINE_integer("num_envs", 10, "training envs per step")
+flags.DEFINE_integer("frames_per_wdw", 24, "frames per training window")
+flags.DEFINE_boolean("render_vis", True, "render per-round videos")
+flags.DEFINE_integer("seed", 0, "rng seed")
+
+
+def main(_):
+    opts = flags.FLAGS.flag_values_dict()
+
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.utils.vis import PhysVisualizer
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+
+    logname = "%s-%s" % (opts["seqname"], opts["logname"])
+    save_dir = os.path.join(opts["logroot"], logname)
+    vis = PhysVisualizer(save_dir)
+    dataloader = DataLoader(opts)
+
+    model = phys_model(opts, dataloader)
+
+    import tqdm
+
+    for it in tqdm.tqdm(range(model.total_iters)):
+        model.progress = it / (opts["num_rounds"] * opts["iters_per_round"])
+
+        if it % opts["iters_per_round"] == 0:
+            model.save_checkpoint(it)
+
+            # full-sequence eval + vis (reference main.py:78-81)
+            model.reinit_envs(1, frames_per_wdw=model.total_frames, is_eval=True)
+            model.forward()
+            data = model.query()
+            data["model"] = model.env
+            vis.show(it, data, fps=1.0 / model.frame_interval,
+                     render_video=opts["render_vis"])
+
+            model.reinit_envs(
+                opts["num_envs"], frames_per_wdw=opts["frames_per_wdw"],
+                is_eval=False,
+            )
+
+        t = time.time()
+        loss = 0.0
+        for _accu in range(opts["accu_steps"]):
+            loss_dict = model.forward()
+            loss = loss + float(loss_dict["total_loss"])
+        loss = loss / float(opts["accu_steps"])
+        model.backward(loss)
+        grad_dict = model.update()
+        loss_dict = {k: float(v) for k, v in loss_dict.items()}
+        loss_dict.update(grad_dict)
+        loss_dict["iter_time"] = time.time() - t
+        loss_dict["loss"] = loss
+        vis.write_log(loss_dict, it)
+
+
+if __name__ == "__main__":
+    app.run(main)

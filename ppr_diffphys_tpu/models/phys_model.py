@@ -1,0 +1,812 @@
+"""phys_model — the differentiable-physics optimization model (TPU-native).
+
+Re-design of the reference's ``phys_model(nn.Module)``
+(diffphys/dp_model.py:56-1011) with the same capabilities and method
+surface, but with the *entire* forward — mocap interpolation, time-MLP
+queries, FK, the multi-hundred-substep rollout, and all losses — as one
+jitted pure function. The reference's per-step host loop with ~2,280 kernel
+launches and ~3,000 torch<->warp tensor conversions (dp_model.py:1145-1400)
+becomes a single XLA program; environments are a vmapped/sharded batch
+axis.
+
+Optimizable parameters (reference §"what makes it differentiable-physics",
+dp_model.py:210-315):
+- ``global_q``     root SE(3) aligning mocap to the ground (init from foot
+                   height, :243-267)
+- ``target_ke/kd`` per-DoF PD gains (:210-215)
+- ``body_mass``    per-link mass; inertia = normalized inertia x mass,
+                   re-inverted each forward (:216-222, :723-730)
+- five time-MLPs (:269-315): root_pose (6-DoF delta), joint_angle (delta
+  -> control reference), vel (initial/queried velocities), torque and
+  residual_f (outputs multiplied by 0, :529 :536 — kept for parity)
+
+Numerical fault tolerance carried over (SURVEY.md §5): grad-norm guard with
+2-round rollback, per-parameter median-queue outlier clipping, NaN adjoint
+scrubbing at the rollout boundary, per-env divergence clipping, init-state
+noise injection.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from copy import deepcopy
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.amp_loader import parse_amp, preprocess_sequence
+from ..data.robot import URDFRobot
+from ..ops import (
+    compose_delta,
+    rotate_frame,
+    rotate_frame_vel,
+    swap_lin_ang,
+    quat_to_matrix,
+)
+from ..sim.builder import ModelBuilder
+from ..sim.import_urdf import parse_urdf
+from ..sim.integrator import (
+    SemiImplicitIntegrator,
+    SimParams,
+    SimState,
+    rollout,
+)
+from ..sim.kinematics import eval_fk
+from ..utils.config import interp_wt, match_param_name
+from .losses import reduce_loss, se3_loss, compute_com
+from .mlp import FrameSampler, TimeMLPFlax, resolve_num_freq_t
+
+LOSS_KEYS = (
+    "traj", "pos_state", "vel_state", "pos_distill",
+    "reg_torque", "reg_res_f", "reg_foot",
+)
+
+
+def _scrub_grad_fwd(x):
+    return x, None
+
+
+def _scrub_grad_bwd(_, g):
+    # NaN adjoint scrubbing + clamp-to-1, mirroring the reference's
+    # post-tape cleanup (dp_model.py:1103-1127 remove_nan + clamp)
+    g = jnp.nan_to_num(g, nan=0.0, posinf=1.0, neginf=-1.0)
+    return (jnp.clip(g, -1.0, 1.0),)
+
+
+@jax.custom_vjp
+def scrub_grad(x):
+    return x
+
+
+scrub_grad.defvjp(_scrub_grad_fwd, _scrub_grad_bwd)
+
+
+class phys_model:
+    """Reference-compatible API (dp_model.py): __init__(opts, dataloader),
+    reinit_envs, forward, backward, update, query, save/load_checkpoint,
+    check_grad, clear_grad."""
+
+    def __init__(self, opts, dataloader, dt=5e-4, device=None):
+        self.opts = opts
+        logname = "%s-%s" % (opts["seqname"], opts["logname"])
+        self.save_dir = os.path.join(opts["logroot"], logname)
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.total_iters = (
+            int(opts["num_rounds"] * opts["iters_per_round"] * opts["ratio_phys_cycle"])
+            + opts["warmup_iters"]
+            + 1
+        )
+        self.progress = 0.0
+        self.dt = dt
+        self.noise_std = opts["noise_std"]
+        self.preset_data(dataloader)
+
+        # ---- robot template table (reference dp_model.py:76-121) ----------
+        urdf_dir = opts.get("urdf_dir", "/root/reference/data/urdf_templates")
+        template = opts["urdf_template"]
+        if template == "a1":
+            urdf_path = os.path.join(urdf_dir, "a1/urdf/a1.urdf")
+            in_bullet = True
+            # quirk preserved: the reference a1 branch never sets
+            # joint_attach_ke/kd and crashes later; we default them instead
+            self.joint_attach_ke, self.joint_attach_kd = 16000.0, 200.0
+            kp, kd, shape_ke, shape_kd = 220.0, 2.0, 1.0e4, 0.0
+        elif template == "laikago":
+            urdf_path = os.path.join(urdf_dir, "laikago/laikago.urdf")
+            in_bullet = False
+            self.joint_attach_ke, self.joint_attach_kd = 16000.0, 200.0
+            kp, kd, shape_ke, shape_kd = 220.0, 2.0, 1.0e4, 0.0
+        elif template == "quad":
+            urdf_path = os.path.join(urdf_dir, "quad.urdf")
+            in_bullet = False
+            self.joint_attach_ke, self.joint_attach_kd = 8000.0, 200.0
+            kp, kd, shape_ke, shape_kd = 660.0, 5.0, 1.0e4, 0.0
+        elif template == "human":
+            urdf_path = os.path.join(urdf_dir, "human.urdf")
+            in_bullet = False
+            self.joint_attach_ke, self.joint_attach_kd = 8000.0, 200.0
+            kp, kd, shape_ke, shape_kd = 660.0, 5.0, 1.0e4, 0.0
+        else:
+            raise NotImplementedError(template)
+        self.in_bullet = in_bullet
+        self.robot = URDFRobot(urdf_path)
+
+        # ---- build articulation (reference dp_model.py:126-146) ------------
+        builder = ModelBuilder()
+        parse_urdf(
+            urdf_path, builder,
+            xform_p=(0.0, 0.417, 0.0), floating=True,
+            density=1000, armature=0.01, stiffness=220.0, damping=2.0,
+            shape_ke=shape_ke, shape_kd=shape_kd, shape_kf=1.0e2, shape_mu=1,
+            limit_ke=0, limit_kd=0,
+        )
+
+        # ---- mass surgery (reference dp_model.py:150-196) ------------------
+        if hasattr(self.robot.urdf, "kp_links"):
+            # ball-joint robots: feet get 2x geometry / 8x mass / 32x inertia;
+            # inertia normalized by mass; link mass init = clamp(1e3*prod(scale),1,5)
+            name_by_body = {n: i for i, n in enumerate(builder.body_name)}
+            body_first_shape = {}
+            for s in builder.shapes:
+                body_first_shape.setdefault(s.body, s)
+            for name, idx in name_by_body.items():
+                if idx not in body_first_shape:
+                    continue
+                shp = body_first_shape[idx]
+                if name in self.robot.urdf.kp_links:
+                    for s in builder.shapes:
+                        if s.body == idx:
+                            s.scale = s.scale * 2.0
+                    builder.body_mass[idx] *= 2 ** 3
+                    builder.body_inertia[idx] = builder.body_inertia[idx] * 2 ** 5
+                builder.body_inertia[idx] = (
+                    builder.body_inertia[idx] / builder.body_mass[idx]
+                )
+                link_weight = 1e3 * np.prod(body_first_shape[idx].scale)
+                link_weight = float(np.clip(link_weight, 1.0, 5.0))
+                builder.body_mass[idx] = link_weight
+        else:
+            for idx in range(len(builder.body_mass)):
+                builder.body_inertia[idx] = (
+                    builder.body_inertia[idx] / builder.body_mass[idx]
+                )
+
+        self.n_dof = len(builder.joint_q) - 7
+        self.n_links = builder.body_count
+
+        self.env = builder.finalize().make_ground_contacts()
+        self.env.joint_attach_ke = self.joint_attach_ke
+        self.env.joint_attach_kd = self.joint_attach_kd
+        self.integrator = SemiImplicitIntegrator(self.env)
+
+        # normalized inertia buffer (inertia = norm_inertia * mass at sim
+        # time, reference dp_model.py:219-222, :723-730)
+        self.norm_body_inertia = jnp.asarray(self.env.body_inertia)
+
+        # precomputed collision mesh for foot height / vis
+        self._mesh_verts, self._mesh_faces, self._mesh_vbody = self.env.collision_mesh()
+
+        # ---- parameters ----------------------------------------------------
+        self.rng = jax.random.PRNGKey(opts.get("seed", 0))
+        target_ke = np.concatenate([np.zeros(6), kp * np.ones(self.n_dof)])
+        target_kd = np.concatenate([np.zeros(6), kd * np.ones(self.n_dof)])
+        self.params = {
+            "global_q": jnp.array([0.0, 0, 0, 0, 0, 0, 1.0]),
+            "target_ke": jnp.asarray(target_ke, jnp.float32),
+            "target_kd": jnp.asarray(target_kd, jnp.float32),
+            "body_mass": jnp.asarray(self.env.body_mass),
+        }
+        self.add_nn_modules()
+
+        self.init_global_q()
+        self.add_optimizer(opts)
+
+        # 2-deep rollback caches (reference dp_model.py:232-235)
+        self.model_cache = [None, None]
+        self.optimizer_cache = [None, None]
+        self.grad_queue = {}
+        self._grad_accum = []
+        self._loss_accum = []
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def preset_data(self, dataloader):
+        self.frame_offset_raw = dataloader.data_info["offset"]
+        self.frame_interval = dataloader.frame_interval
+        self.frame_info = None
+        self.total_frames = len(dataloader.amp_info)
+        self.steps_per_fr_interval = int(self.frame_interval / self.dt)
+        self._dataloader = dataloader
+
+    def _finish_data(self):
+        """Device-resident mocap table (after in_bullet is known)."""
+        self.amp_table = jnp.asarray(
+            preprocess_sequence(self._dataloader, self.in_bullet)
+        )
+
+    # ------------------------------------------------------------------
+    # networks
+    # ------------------------------------------------------------------
+    def add_nn_modules(self):
+        """Five time-MLPs (reference dp_model.py:269-315)."""
+        offsets = tuple(int(x) for x in self.frame_offset_raw)
+        max_ts = int(np.max(np.diff(np.asarray(offsets))))
+        nf = resolve_num_freq_t(6, max_ts)
+        n_vids = len(offsets) - 1
+
+        self.samplers = {
+            "root_pose_mlp": FrameSampler(offsets, time_scale=0.1),
+            "joint_angle_mlp": FrameSampler(offsets),
+            "vel_mlp": FrameSampler(offsets),
+            "torque_mlp": FrameSampler(offsets),
+            "residual_f_mlp": FrameSampler(offsets),
+        }
+        self.modules = {
+            "root_pose_mlp": TimeMLPFlax(
+                num_freq_t=nf, num_inst=n_vids, out_channels=6,
+                D=8, skips=(4,), output_scale=0.5,
+            ),
+            "joint_angle_mlp": TimeMLPFlax(
+                num_freq_t=nf, num_inst=n_vids, out_channels=self.n_dof
+            ),
+            "vel_mlp": TimeMLPFlax(
+                num_freq_t=nf, num_inst=n_vids, out_channels=6 + self.n_dof,
+                output_scale=5.0,
+            ),
+            "torque_mlp": TimeMLPFlax(
+                num_freq_t=nf, num_inst=n_vids, out_channels=self.n_dof
+            ),
+            "residual_f_mlp": TimeMLPFlax(
+                num_freq_t=nf, num_inst=n_vids, out_channels=6 * self.n_links
+            ),
+        }
+        for name, mod in self.modules.items():
+            self.rng, key = jax.random.split(self.rng)
+            variables = mod.init(key, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))
+            self.params[name] = variables["params"]
+
+    def _mlp(self, params, name, steps_fr):
+        """Evaluate a time-MLP at raw (fractional) frame ids (N,)."""
+        sampler = self.samplers[name]
+        t = sampler.frame_to_tid(steps_fr)
+        vid = sampler.frame_to_vid(steps_fr)
+        return self.modules[name].apply({"params": params[name]}, t, vid)
+
+    # ------------------------------------------------------------------
+    # envs / windows (reference dp_model.py:354-405 reinit_envs)
+    # ------------------------------------------------------------------
+    def reinit_envs(self, num_envs, frames_per_wdw, is_eval=False, overwrite=False):
+        self.num_envs = num_envs
+        self.frames_per_wdw = frames_per_wdw
+        self.is_eval = is_eval
+        n_steps = self.steps_per_fr_interval * (frames_per_wdw - 1) + 1
+        self.steps_idx = np.arange(n_steps)
+        self.steps_idx_fr = self.steps_idx / self.steps_per_fr_interval
+        self.frame2step = self.steps_idx[:: self.steps_per_fr_interval]
+
+    # ------------------------------------------------------------------
+    # forward (pure, jitted per (num_envs, frames_per_wdw))
+    # ------------------------------------------------------------------
+    def _interp_amp(self, steps_fr):
+        """Linear interpolation of the mocap table at fractional frames,
+        with linear extrapolation (replaces host scipy interp1d,
+        reference dp_model.py:421-427)."""
+        T = self.amp_table.shape[0]
+        i0 = jnp.clip(jnp.floor(steps_fr), 0, max(T - 2, 0)).astype(jnp.int32)
+        frac = steps_fr - i0
+        a = self.amp_table[i0]
+        b = self.amp_table[jnp.minimum(i0 + 1, T - 1)]
+        return a + (b - a) * frac[..., None]
+
+    def _sim_params(self, params):
+        body_mass = params["body_mass"]
+        inertia = self.norm_body_inertia * body_mass[:, None, None]
+        return SimParams(
+            body_mass=body_mass,
+            body_inv_mass=1.0 / body_mass,
+            body_inertia=inertia,
+            body_inv_inertia=jnp.linalg.inv(inertia),
+            joint_target_ke=params["target_ke"],
+            joint_target_kd=params["target_kd"],
+        )
+
+    def get_batch_input(self, params, steps_fr):
+        """Targets + network predictions for a window (reference
+        dp_model.py:611-662). steps_fr (E, S) fractional frames.
+        Returns dict of traced arrays.
+        """
+        E, S = steps_fr.shape
+        amp = self._interp_amp(steps_fr)
+        msm = parse_amp(amp)
+        target_ja = msm["jang"][..., : self.n_dof]
+        target_jad = msm["jvel"][..., : self.n_dof]
+        target_q = jnp.concatenate([msm["pos"], msm["orn"]], -1)
+        target_qd = jnp.concatenate([msm["vel"], msm["avel"]], -1)
+
+        # ground alignment by the optimizable global SE(3)
+        target_q = rotate_frame(params["global_q"], target_q)
+        target_qd = rotate_frame_vel(params["global_q"], target_qd)
+
+        # network predictions at every substep
+        flat = steps_fr.reshape(-1)
+        torques = self._mlp(params, "torque_mlp", flat).reshape(E, S, -1) * 0.0
+        res_f = self._mlp(params, "residual_f_mlp", flat).reshape(E, S, -1, 6)
+        res_f = res_f.at[..., :3].multiply(10.0)
+        res_f = res_f * 0.0  # disabled, parity with reference :529/:536
+        delta_root = self._mlp(params, "root_pose_mlp", flat).reshape(E, S, -1)
+        delta_ja = self._mlp(params, "joint_angle_mlp", flat).reshape(E, S, -1)
+        state_qd = self._mlp(params, "vel_mlp", flat).reshape(E, S, -1)
+
+        queried_q = compose_delta(target_q, delta_root)
+        queried_ja = target_ja + delta_ja
+
+        return dict(
+            target_q=target_q, target_qd=target_qd,
+            target_ja=target_ja, target_jad=target_jad,
+            queried_q=queried_q, queried_ja=queried_ja,
+            queried_qd=state_qd, torques=torques, res_f=res_f,
+        )
+
+    def fk_pos_vel(self, q7, ja, qd6, jad):
+        """FK of [root 7 + joint angles] with velocities given in ppr
+        layout (reference dp_model.py:588-603). Inputs (E, F, .)."""
+        joint_q = jnp.concatenate([q7, ja], -1)
+        joint_qd = swap_lin_ang(jnp.concatenate([qd6, jad], -1))
+        body_q, body_qd = eval_fk(self.env, joint_q, joint_qd)
+        return body_q, swap_lin_ang(body_qd)
+
+    def get_foot_height(self, body_q):
+        """Min collision-mesh height (reference get_foot_height,
+        dp_model.py:574-579: min over all mesh vertices)."""
+        verts = jnp.asarray(self._mesh_verts)
+        vbody = self._mesh_vbody
+        rot = quat_to_matrix(body_q[..., 3:7])  # (..., B, 3, 3)
+        row1 = rot[..., vbody, 1, :]  # (..., V, 3)
+        y = jnp.sum(row1 * verts, -1) + body_q[..., vbody, 1]
+        return jnp.min(y, axis=-1)
+
+    def _forward_pure(self, params, frame_start, key, progress, weights, is_train):
+        """The whole training forward as a pure function."""
+        E = self.num_envs
+        F = self.frames_per_wdw
+        S = len(self.steps_idx)
+        sub = self.steps_per_fr_interval
+        f2s = self.frame2step
+
+        steps_fr = frame_start[:, None] + jnp.asarray(self.steps_idx_fr, jnp.float32)[None]
+
+        # out-of-sequence mask over frames (reference dp_model.py:677-682)
+        sampler = self.samplers["joint_angle_mlp"]
+        vidid = sampler.frame_to_vid(steps_fr[:, f2s])
+        outseq = (vidid[:, :1] - vidid) != 0
+
+        batch = self.get_batch_input(params, steps_fr)
+
+        # target body states at frame boundaries
+        target_position, target_velocity = self.fk_pos_vel(
+            batch["target_q"][:, f2s], batch["target_ja"][:, f2s],
+            batch["target_qd"][:, f2s], batch["target_jad"][:, f2s],
+        )
+
+        # initial state (+ annealed noise, reference dp_model.py:700-712)
+        q_init = jnp.concatenate(
+            [batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1
+        )
+        if is_train and self.noise_std > 0:
+            noise_ratio = jnp.clip(1.0 - 1.5 * progress, 0.0, 1.0)
+            noise = jax.random.normal(key, q_init.shape) * self.noise_std * noise_ratio
+            noise = noise.at[:, :3].set(0.0)
+            noise = noise.at[:, 3:7].multiply(5.0)
+            q_init = q_init + noise
+        qd_init = swap_lin_ang(batch["queried_qd"][:, 0])
+
+        body_q0, body_qd0 = eval_fk(self.env, q_init, qd_init)
+        state0 = SimState(body_q0, body_qd0)
+
+        # control reference at every substep: zeros(6) + queried joint
+        # angles (reference rearrange_pred, dp_model.py:554-572)
+        ref_ja = jnp.concatenate(
+            [jnp.zeros((E, S, 6)), batch["queried_ja"]], -1
+        ).transpose(1, 0, 2)  # (S, E, n_qd)
+        torques = jnp.concatenate(
+            [jnp.zeros((E, S, 6)), batch["torques"]], -1
+        ).transpose(1, 0, 2)
+        res_f = swap_lin_ang(batch["res_f"]).transpose(1, 0, 2, 3)  # (S,E,B,6)
+
+        # gradient scrubbing at the rollout boundary (reference
+        # remove_nan/clamp, dp_model.py:1294-1384)
+        sim_q, sim_qd, grfs, jafs = rollout(
+            self.integrator, self._sim_params(params), state0,
+            scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
+            self.dt, sub,
+        )
+        # (F, E, B, x) -> (E, F, B, x)
+        sim_position = sim_q.transpose(1, 0, 2, 3)
+        sim_velocity = swap_lin_ang(sim_qd.transpose(1, 0, 2, 3))
+
+        # control-reference (queried) body states at frame boundaries
+        queried_position, queried_velocity = self.fk_pos_vel(
+            batch["queried_q"][:, f2s], batch["queried_ja"][:, f2s],
+            batch["queried_qd"][:, f2s, :6], batch["queried_qd"][:, f2s, 6:],
+        )
+        foot_height = self.get_foot_height(queried_position)
+
+        # ---- losses (reference dp_model.py:775-838) -----------------------
+        loss_dict = {}
+        loss_traj = se3_loss(sim_position, target_position).mean(-1)
+        loss_traj = jnp.where(outseq, 0.0, loss_traj)
+        loss_dict["traj"] = reduce_loss(loss_traj, clip=True)
+
+        loss_pos = se3_loss(
+            queried_position, jax.lax.stop_gradient(sim_position)
+        ).mean(-1)
+        loss_pos = jnp.where(outseq, 0.0, loss_pos)
+        loss_dict["pos_state"] = reduce_loss(loss_pos)
+
+        loss_vel = se3_loss(
+            queried_velocity, jax.lax.stop_gradient(sim_velocity)
+        ).mean(-1)
+        loss_vel = jnp.where(outseq, 0.0, loss_vel)
+        loss_dict["vel_state"] = reduce_loss(loss_vel)
+
+        loss_dict["pos_distill"] = self._distill_loss(
+            params, steps_fr, sim_position, outseq
+        )
+
+        loss_dict["reg_torque"] = jnp.mean(batch["torques"] ** 2)
+        loss_dict["reg_res_f"] = jnp.mean(batch["res_f"] ** 2)
+        loss_dict["reg_foot"] = jnp.mean(foot_height ** 2)
+
+        total = 0.0
+        for i, k in enumerate(LOSS_KEYS):
+            total = total + loss_dict[k] * weights[i]
+
+        out = {"loss_" + k: v for k, v in loss_dict.items()}
+        out["total_loss"] = total
+
+        aux = dict(
+            sim_traj=sim_q[:, 0],  # (F, B, 7) env 0, for vis
+            target_traj=target_position[0],  # (F, B, 7)
+            pid_ref=queried_position[0],
+            # warp layout [torque, force]: vis reads force at [..., 3:6]
+            # like the reference (urdf_utils.py:240)
+            grf=grfs[:, 0],
+            jaf=jafs[:, 0],
+        )
+        return out, aux
+
+    def _distill_loss(self, params, steps_fr, sim_position, outseq):
+        """pos_distill hook — overridden by the lab4d interface
+        (reference dp_model.py:800-804). Zero in mocap mode."""
+        return jnp.zeros(())
+
+    # ------------------------------------------------------------------
+    # host-side train loop API (reference method surface)
+    # ------------------------------------------------------------------
+    def set_progress(self, num_iters):
+        self.progress = num_iters / self.total_iters
+        self.set_loss_weight("reg_cam_prior_wt", (0, 0.5), (1, 0), self.progress)
+
+    def set_loss_weight(self, loss_name, anchor_x, anchor_y, current_steps, type="linear"):
+        if loss_name not in self.opts:
+            return
+        if "%s_init" % loss_name not in self.opts:
+            self.opts["%s_init" % loss_name] = self.opts[loss_name]
+        factor = interp_wt(anchor_x, anchor_y, current_steps, type=type)
+        self.opts[loss_name] = self.opts["%s_init" % loss_name] * factor
+
+    def _weights_vec(self):
+        return jnp.asarray(
+            [float(self.opts.get(k + "_wt", 0.0)) for k in LOSS_KEYS], jnp.float32
+        )
+
+    def compute_frame_start(self, key):
+        u = jax.random.uniform(key, (self.num_envs,))
+        return jnp.round(u * (self.total_frames - self.frames_per_wdw)).astype(
+            jnp.float32
+        )
+
+    def _get_jit(self, kind):
+        sig = (kind, self.num_envs, self.frames_per_wdw)
+        if sig not in self._jit_cache:
+            if kind == "grad":
+                def fn(params, frame_start, key, progress, weights):
+                    def loss_fn(p):
+                        out, aux = self._forward_pure(
+                            p, frame_start, key, progress, weights, True
+                        )
+                        return out["total_loss"], (out, aux)
+
+                    (loss, (out, aux)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params)
+                    # norms over trainable (lr>0) params only, matching the
+                    # reference's params_ref_list (dp_model.py:942-950)
+                    lrs = self.param_peak_lr
+                    norms = {
+                        k: optax.global_norm(g)
+                        for k, g in grads.items()
+                        if lrs.get(k, 0.0) > 0
+                    }
+                    gnorm = optax.global_norm(
+                        {k: g for k, g in grads.items() if lrs.get(k, 0.0) > 0}
+                    )
+                    return out, grads, norms, gnorm
+
+                self._jit_cache[sig] = jax.jit(fn)
+            else:  # eval forward
+                def fn(params, frame_start, key, progress, weights):
+                    return self._forward_pure(
+                        params, frame_start, key, progress, weights, False
+                    )
+
+                self._jit_cache[sig] = jax.jit(fn)
+        return self._jit_cache[sig]
+
+    def forward(self, frame_start=None):
+        """One forward; in train mode also computes and accumulates grads
+        (the reference's forward/backward split maps onto jax's
+        value_and_grad — ``backward`` just closes the accumulation)."""
+        self.rng, k1, k2 = jax.random.split(self.rng, 3)
+        if frame_start is None:
+            frame_start = self.compute_frame_start(k1)
+        else:
+            frame_start = jnp.asarray(frame_start[: self.num_envs], jnp.float32)
+
+        w = self._weights_vec()
+        prog = jnp.float32(self.progress)
+        if self.is_eval:
+            out, aux = self._get_jit("eval")(self.params, frame_start, k2, prog, w)
+            self._store_eval_aux(aux)
+        else:
+            out, grads, norms, gnorm = self._get_jit("grad")(
+                self.params, frame_start, k2, prog, w
+            )
+            self._grad_accum.append((grads, norms, gnorm))
+        return out
+
+    def _store_eval_aux(self, aux):
+        self.sim_trajs = np.asarray(aux["sim_traj"])
+        self.target_trajs = np.asarray(aux["target_traj"])
+        self.pid_ref = np.asarray(aux["pid_ref"])
+        self.grfs = np.asarray(aux["grf"])
+        self.jafs = np.asarray(aux["jaf"])
+
+    def backward(self, loss):
+        """No-op bridge: gradients were produced in forward()."""
+        return
+
+    # ------------------------------------------------------------------
+    # optimizer (reference add_optimizer/get_lr_dict, dp_model.py:429-509)
+    # ------------------------------------------------------------------
+    def get_lr_dict(self):
+        opts = self.opts
+        lr_base = opts["phys_learning_rate"]
+        lr_explicit = lr_base * 10
+        param_lr_startwith = {
+            "global_q": lr_explicit,
+            "target_ke": lr_explicit,
+            "target_kd": lr_explicit,
+            "attach_ke": lr_explicit,
+            "attach_kd": lr_explicit,
+            "body_mass": lr_explicit,
+            "root_pose_mlp": lr_base,
+            "joint_angle_mlp": lr_base,
+            "vel_mlp": lr_base,
+            "torque_mlp": lr_base,
+            "residual_f_mlp": lr_base,
+        }
+        param_lr_with = {"root_pose_mlp.base_quat": lr_explicit}
+        return param_lr_startwith, param_lr_with
+
+    def _param_lrs(self):
+        """Top-level param name -> peak lr (0 = frozen)."""
+        startwith, withmap = self.get_lr_dict()
+        out = {}
+        for name in self.params:
+            matched_loose, lr_loose = match_param_name(name, withmap, "with")
+            matched, lr = match_param_name(name, startwith, "startwith")
+            if matched_loose:
+                out[name] = lr_loose
+            elif matched:
+                out[name] = lr
+            else:
+                out[name] = 0.0
+        return out
+
+    def add_optimizer(self, opts):
+        total = max(2, self.total_iters)
+        pct_start = 2.0 / total
+        div, final_div = 25.0, 100.0
+
+        def onecycle(step):
+            # torch OneCycleLR, linear anneal (reference dp_model.py:466-476)
+            s = jnp.asarray(step, jnp.float32) / total
+            up = 1.0 / div + (1.0 - 1.0 / div) * (s / pct_start)
+            down = 1.0 + (1.0 / div / final_div - 1.0) * (
+                (s - pct_start) / (1.0 - pct_start)
+            )
+            return jnp.where(s < pct_start, up, down)
+
+        self._lr_schedule = onecycle
+        lrs = self._param_lrs()
+        self.param_peak_lr = lrs
+
+        def scale_by_group():
+            def init_fn(params):
+                return optax.EmptyState()
+
+            def update_fn(updates, state, params=None):
+                scaled = {
+                    k: jax.tree.map(lambda g: g * lrs[k], v)
+                    for k, v in updates.items()
+                }
+                return scaled, state
+
+            return optax.GradientTransformation(init_fn, update_fn)
+
+        self.tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(1e-4),
+            scale_by_group(),
+            optax.scale_by_schedule(lambda step: -onecycle(step)),
+        )
+        self.opt_state = self.tx.init(self.params)
+
+        def apply(params, opt_state, grads, scales):
+            grads = {
+                k: jax.tree.map(lambda g: g * scales[k], v)
+                for k, v in grads.items()
+            }
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        self._apply_jit = jax.jit(apply)
+
+    def update(self):
+        """Aggregate accumulated grads, run grad safety, apply the
+        optimizer (reference update/check_grad, dp_model.py:511-516,
+        :936-999)."""
+        assert self._grad_accum, "forward() must run before update()"
+        n = len(self._grad_accum)
+        grads = jax.tree.map(
+            lambda *g: sum(g) / n, *[a[0] for a in self._grad_accum]
+        )
+        gnorm = float(sum(float(a[2]) for a in self._grad_accum) / n)
+        norms = {k: float(sum(float(a[1][k]) for a in self._grad_accum) / n)
+                 for k in self._grad_accum[0][1]}
+        self._grad_accum = []
+
+        grad_dict = self.check_grad_dict(grads, norms, gnorm)
+        if grad_dict is None:
+            return {}
+        scales, grad_dict = grad_dict
+        self.params, self.opt_state = self._apply_jit(
+            self.params, self.opt_state, grads, scales
+        )
+        return grad_dict
+
+    def check_grad_dict(self, grads, norms, gnorm, thresh=10.0):
+        """Grad-norm rollback + per-param median-queue clipping
+        (reference check_grad, dp_model.py:936-999)."""
+        if not np.isfinite(gnorm) or gnorm > thresh:
+            print("large grad: %.2f, clear gradients" % gnorm)
+            if self.model_cache[0] is not None:
+                print("fallback to cached model")
+                self.params = jax.tree.map(jnp.asarray, self.model_cache[0])
+                self.opt_state = self.optimizer_cache[0]
+            return None
+
+        grad_dict = {}
+        scales = {}
+        queue_length = 10
+        for name in self.params:
+            if self.param_peak_lr.get(name, 0.0) <= 0:
+                scales[name] = 0.0
+                continue
+            g = norms[name]
+            grad_dict["grad/" + name] = g
+            scales[name] = 1.0
+            scale_threshold = 5.0
+            q = self.grad_queue.setdefault(name, [])
+            if len(q) > queue_length:
+                med = float(np.median(q[:-1]))
+                grad_dict["grad_med/" + name] = med
+                if g > scale_threshold * med and g > 0:
+                    scales[name] = med / g
+                    print("large grad: %.2f, clear %s" % (g, name))
+                else:
+                    q.append(g)
+                    q.pop(0)
+            else:
+                q.append(g)
+        return scales, grad_dict
+
+    def clear_grad(self):
+        self._grad_accum = []
+        if self.model_cache[0] is not None:
+            print("fallback to cached model")
+            self.params = jax.tree.map(jnp.asarray, self.model_cache[0])
+            self.opt_state = self.optimizer_cache[0]
+
+    # ------------------------------------------------------------------
+    # global_q init (reference init_global_q, dp_model.py:243-267)
+    # ------------------------------------------------------------------
+    def init_global_q(self):
+        self._finish_data()
+        self.reinit_envs(1, 1, is_eval=True)
+        steps_fr = jnp.zeros((1, 1))
+        batch = self.get_batch_input(self.params, steps_fr)
+        q = jnp.concatenate([batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1)
+        body_q, _ = eval_fk(self.env, q)
+        foot_height = float(self.get_foot_height(body_q[:, None])[0, 0])
+        self.params["global_q"] = jnp.array(
+            [0.0, -foot_height, 0.0, 0.0, 0.0, 0.0, 1.0], jnp.float32
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoints (reference dp_model.py:912-934)
+    # ------------------------------------------------------------------
+    def _state_np(self):
+        return jax.tree.map(np.asarray, self.params)
+
+    def save_checkpoint(self, steps_count):
+        self.model_cache[0] = self.model_cache[1]
+        self.optimizer_cache[0] = self.optimizer_cache[1]
+        self.model_cache[1] = self._state_np()
+        self.optimizer_cache[1] = deepcopy(
+            jax.tree.map(np.asarray, self.opt_state)
+        )
+
+        save_dict = self.model_cache[1]
+        param_path = "%s/ckpt_phys_%04d.pth" % (self.save_dir, steps_count)
+        with open(param_path, "wb") as f:
+            pickle.dump(save_dict, f)
+        latest_path = "%s/ckpt_phys_latest.pth" % self.save_dir
+        with open(latest_path, "wb") as f:
+            pickle.dump(save_dict, f)
+
+    def load_checkpoint(self, model_path):
+        with open(model_path, "rb") as f:
+            states = pickle.load(f)
+        # non-strict load (reference :932-934)
+        for k, v in states.items():
+            if k in self.params:
+                self.params[k] = jax.tree.map(jnp.asarray, v)
+
+    # ------------------------------------------------------------------
+    # query for visualization (reference dp_model.py:843-902)
+    # ------------------------------------------------------------------
+    def query(self, img_size=None):
+        data = {}
+        part_com = self.env.body_com
+        part_mass = self.env.body_mass
+        body_mass = np.asarray(self.params["body_mass"])
+
+        data["sim_traj"] = self.sim_trajs  # (F, B, 7)
+        data["target_traj"] = self.target_trajs
+        data["control_ref"] = self.pid_ref
+        data["grf"] = self.grfs
+        data["com"] = np.stack(
+            [
+                np.asarray(compute_com(jnp.asarray(t), jnp.asarray(part_com), jnp.asarray(part_mass)))
+                for t in self.sim_trajs
+            ],
+            0,
+        )
+        data["com_k"] = [
+            np.asarray(compute_com(jnp.asarray(t), jnp.asarray(part_com), jnp.asarray(part_mass)))
+            for t in self.target_trajs
+        ]
+        data["body_mass"] = body_mass
+        verts = self._mesh_verts
+        data["max_w"] = 3 * np.abs(verts[:, [0, 2]]).max()
+        return data
