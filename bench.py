@@ -1,0 +1,119 @@
+"""Headline benchmark: batched laikago rollout throughput (env-steps/sec).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N} where vs_baseline is relative to the 1M env-steps/sec
+north-star target (BASELINE.md). Runs on whatever accelerator jax sees
+(the driver runs it on a real TPU chip).
+
+The workload matches the reference's training configuration: laikago with
+full mesh-vertex ground contacts (3,848 candidate points), PD control
+toward rest angles, dt=5e-4 — i.e. the same physics the reference steps
+through ~2,280 CUDA kernel launches per forward (dp_model.py:1209-1234),
+here as one scanned XLA program.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ppr_diffphys_tpu.sim.builder import ModelBuilder
+    from ppr_diffphys_tpu.sim.import_urdf import parse_urdf
+    from ppr_diffphys_tpu.sim.kinematics import eval_fk
+    from ppr_diffphys_tpu.sim.integrator import (
+        SemiImplicitIntegrator,
+        SimState,
+        default_sim_params,
+    )
+
+    urdf = os.environ.get(
+        "PPR_URDF", "/root/reference/data/urdf_templates/laikago/laikago.urdf"
+    )
+    E = int(os.environ.get("PPR_BENCH_ENVS", 4096))
+    STEPS = int(os.environ.get("PPR_BENCH_STEPS", 1000))
+
+    b = ModelBuilder()
+    parse_urdf(
+        urdf, b, xform_p=(0, 0.417, 0), floating=True, density=1000,
+        armature=0.01, stiffness=220.0, damping=2.0, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    model = b.finalize().make_ground_contacts()
+    model.joint_attach_ke = 16000.0
+    model.joint_attach_kd = 200.0
+
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)
+    ke = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(model.n_dof)])
+    kd = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(model.n_dof)])
+    params = params._replace(joint_target_ke=ke, joint_target_kd=kd)
+
+    q = np.array(model.joint_q_init, np.float32)
+    rest = np.zeros(model.n_dof, np.float32)
+    if model.n_dof == 12:
+        rest[[2, 5, 8, 11]] = -0.8
+    q[7:] = rest
+
+    # per-env perturbed initial states
+    rng = np.random.RandomState(0)
+    qs = np.tile(q[None], (E, 1))
+    qs[:, 0:3:2] += rng.uniform(-0.05, 0.05, (E, 2))
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    state = SimState(body_q, body_qd)
+
+    target = jnp.tile(jnp.concatenate([jnp.zeros(6), jnp.asarray(rest)])[None], (E, 1))
+    act = jnp.zeros((E, model.n_qd))
+    res = jnp.zeros((E, model.n_links, 6))
+
+    def run(state, n):
+        def step(s, _):
+            return integ.step_only(params, s, target, act, res, 5e-4), None
+
+        out, _ = jax.lax.scan(step, state, None, length=n)
+        return out
+
+    run_jit = jax.jit(run, static_argnums=1)
+
+    # warmup + compile
+    state1 = run_jit(state, STEPS)
+    jax.block_until_ready(state1)
+
+    t0 = time.perf_counter()
+    reps = 3
+    s = state
+    for _ in range(reps):
+        s = run_jit(s, STEPS)
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / reps
+
+    env_steps_per_sec = E * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched_laikago_rollout_throughput",
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env-steps/sec",
+                "vs_baseline": round(env_steps_per_sec / 1e6, 3),
+                "detail": {
+                    "envs": E,
+                    "steps": STEPS,
+                    "wall_sec": round(dt, 4),
+                    "contacts": int(model.contact_count),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
