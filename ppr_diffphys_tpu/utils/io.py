@@ -15,9 +15,9 @@ def resize_to_nearest_multiple(image, multiple=16):
 
 
 def save_vid(outpath, frames, suffix=".mp4", upsample_frame=0, fps=10, target_size=None):
-    """Save frames to mp4/gif (reference io.py:33-78)."""
+    """Save frames to mp4/gif (reference io.py:33-78). mp4 via cv2
+    VideoWriter (no ffmpeg binary in this environment), gif via imageio."""
     import cv2
-    import imageio
 
     if upsample_frame < 1:
         upsample_frame = len(frames)
@@ -35,7 +35,20 @@ def save_vid(outpath, frames, suffix=".mp4", upsample_frame=0, fps=10, target_si
             fxy = np.sqrt(4e4 / (h * w))
             frame = cv2.resize(frame, None, fx=fxy, fy=fxy)
         out.append(resize_to_nearest_multiple(frame))
-    imageio.mimsave("%s%s" % (outpath, suffix), out, fps=fps)
+
+    path = "%s%s" % (outpath, suffix)
+    if suffix == ".mp4":
+        h, w = out[0].shape[:2]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), max(float(fps), 1.0), (w, h)
+        )
+        for frame in out:
+            vw.write(frame[..., ::-1])  # RGB -> BGR
+        vw.release()
+    else:
+        import imageio
+
+        imageio.mimsave(path, out, fps=fps)
 
 
 def vis_kps(kps, path, binary_labels=None):

@@ -74,6 +74,8 @@ class SoftwareRenderer:
     def set_camera_default(self):
         """45-degree-ish view used by the reference when no camera is given
         (vis.py:98-108): rotate -5pi/6 about x then -pi/2 about y, t=(0,0,3).
+        The matrix is CV-convention scene->cam (+z forward, y down), same as
+        what the reference passes pre-flip (pyrender_wrapper.py:69-71).
         """
         from scipy.spatial.transform import Rotation as R
 
@@ -82,28 +84,28 @@ class SoftwareRenderer:
             @ R.from_rotvec([0, -np.pi / 2, 0]).as_matrix()
         )
         m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = rot.T
+        m[:3, :3] = rot
         m[:3, 3] = [0, 0, 3.0]
         self.scene_to_cam = m
 
-    def set_camera_bev(self, dist, gl=True):
+    def set_camera_bev(self, depth, gl=False):
+        """Reference pyrender_wrapper.py:47-56 (pre-flip matrix)."""
         from scipy.spatial.transform import Rotation as R
 
+        rv = [-np.pi / 2, 0, 0] if gl else [np.pi / 2, 0, 0]
         m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = R.from_rotvec([np.pi / 2, 0, 0]).as_matrix()
-        m[:3, 3] = [0, 0, dist]
-        if gl:
-            m[:3, :3] = m[:3, :3] @ np.diag([1, -1, -1])
+        m[:3, :3] = R.from_rotvec(rv).as_matrix()
+        m[2, 3] = depth
         self.scene_to_cam = m
 
-    def set_camera_frontal(self, dist, delta=0.0, gl=True):
+    def set_camera_frontal(self, depth, gl=False, delta=0.0):
+        """Reference pyrender_wrapper.py:58-67 (pre-flip matrix)."""
         from scipy.spatial.transform import Rotation as R
 
+        rv = [np.pi + np.pi / 180, delta, 0] if gl else [np.pi / 180, delta, 0]
         m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = R.from_rotvec([delta, 0, 0]).as_matrix()
-        m[:3, 3] = [0, 0, dist]
-        if gl:
-            m[:3, :3] = m[:3, :3] @ np.diag([1, -1, -1])
+        m[:3, :3] = R.from_rotvec(rv).as_matrix()
+        m[2, 3] = depth
         self.scene_to_cam = m
 
     # -- render ---------------------------------------------------------
@@ -111,10 +113,9 @@ class SoftwareRenderer:
         """verts (V,3) world, faces (F,3), colors (V,3) uint8 -> (H,W,3)."""
         lib = _load_lib()
         v = np.ascontiguousarray(verts, np.float32)
+        # scene_to_cam is CV-convention (+z forward, y down) — exactly what
+        # the rasterizer consumes; no GL flip needed
         vc = v @ self.scene_to_cam[:3, :3].T + self.scene_to_cam[:3, 3][None]
-        # GL->CV: the reference's cameras look down -z with y up in GL;
-        # rasterizer wants +z forward, +y down
-        vc = vc * np.array([1.0, -1.0, -1.0], np.float32)
         vc = np.ascontiguousarray(vc, np.float32)
         f = np.ascontiguousarray(faces, np.int32)
         c = np.ascontiguousarray(colors, np.uint8)
