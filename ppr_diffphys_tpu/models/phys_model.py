@@ -306,7 +306,7 @@ class phys_model:
         b = self.amp_table[jnp.minimum(i0 + 1, T - 1)]
         return a + (b - a) * frac[..., None]
 
-    def _sim_params(self, params):
+    def _sim_params(self, params, joint_X_p=None):
         body_mass = params["body_mass"]
         inertia = self.norm_body_inertia * body_mass[:, None, None]
         return SimParams(
@@ -316,6 +316,7 @@ class phys_model:
             body_inv_inertia=jnp.linalg.inv(inertia),
             joint_target_ke=params["target_ke"],
             joint_target_kd=params["target_kd"],
+            joint_X_p=joint_X_p,
         )
 
     def get_batch_input(self, params, steps_fr):
@@ -355,12 +356,12 @@ class phys_model:
             queried_qd=state_qd, torques=torques, res_f=res_f,
         )
 
-    def fk_pos_vel(self, q7, ja, qd6, jad):
+    def fk_pos_vel(self, q7, ja, qd6, jad, joint_X_p=None):
         """FK of [root 7 + joint angles] with velocities given in ppr
         layout (reference dp_model.py:588-603). Inputs (E, F, .)."""
         joint_q = jnp.concatenate([q7, ja], -1)
         joint_qd = swap_lin_ang(jnp.concatenate([qd6, jad], -1))
-        body_q, body_qd = eval_fk(self.env, joint_q, joint_qd)
+        body_q, body_qd = eval_fk(self.env, joint_q, joint_qd, joint_X_p=joint_X_p)
         return body_q, swap_lin_ang(body_qd)
 
     def get_foot_height(self, body_q):
@@ -389,11 +390,15 @@ class phys_model:
         outseq = (vidid[:, :1] - vidid) != 0
 
         batch = self.get_batch_input(params, steps_fr)
+        # optional per-env joint-anchor override from the lab4d layer
+        xp = batch.get("joint_X_p")  # (E, B, 7) or None
+        xp_f = xp[:, None] if xp is not None else None  # broadcast over frames
 
         # target body states at frame boundaries
         target_position, target_velocity = self.fk_pos_vel(
             batch["target_q"][:, f2s], batch["target_ja"][:, f2s],
             batch["target_qd"][:, f2s], batch["target_jad"][:, f2s],
+            joint_X_p=xp_f,
         )
 
         # initial state (+ annealed noise, reference dp_model.py:700-712)
@@ -408,7 +413,7 @@ class phys_model:
             q_init = q_init + noise
         qd_init = swap_lin_ang(batch["queried_qd"][:, 0])
 
-        body_q0, body_qd0 = eval_fk(self.env, q_init, qd_init)
+        body_q0, body_qd0 = eval_fk(self.env, q_init, qd_init, joint_X_p=xp)
         state0 = SimState(body_q0, body_qd0)
 
         # control reference at every substep: zeros(6) + queried joint
@@ -424,7 +429,7 @@ class phys_model:
         # gradient scrubbing at the rollout boundary (reference
         # remove_nan/clamp, dp_model.py:1294-1384)
         sim_q, sim_qd, grfs, jafs = rollout(
-            self.integrator, self._sim_params(params), state0,
+            self.integrator, self._sim_params(params, joint_X_p=xp), state0,
             scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
             self.dt, sub,
         )
@@ -436,6 +441,7 @@ class phys_model:
         queried_position, queried_velocity = self.fk_pos_vel(
             batch["queried_q"][:, f2s], batch["queried_ja"][:, f2s],
             batch["queried_qd"][:, f2s, :6], batch["queried_qd"][:, f2s, 6:],
+            joint_X_p=xp_f,
         )
         foot_height = self.get_foot_height(queried_position)
 
@@ -528,17 +534,18 @@ class phys_model:
                     (loss, (out, aux)), grads = jax.value_and_grad(
                         loss_fn, has_aux=True
                     )(params)
-                    # norms over trainable (lr>0) params only, matching the
+                    # norms over trainable (lr>0) leaves only, matching the
                     # reference's params_ref_list (dp_model.py:942-950)
-                    lrs = self.param_peak_lr
+                    lr_tree = self.param_lr_tree
+                    masked = jax.tree.map(
+                        lambda g, lr: g * (lr > 0), grads, lr_tree
+                    )
                     norms = {
                         k: optax.global_norm(g)
-                        for k, g in grads.items()
-                        if lrs.get(k, 0.0) > 0
+                        for k, g in masked.items()
+                        if self.param_peak_lr.get(k, 0.0) > 0
                     }
-                    gnorm = optax.global_norm(
-                        {k: g for k, g in grads.items() if lrs.get(k, 0.0) > 0}
-                    )
+                    gnorm = optax.global_norm(masked)
                     return out, grads, norms, gnorm
 
                 self._jit_cache[sig] = jax.jit(fn)
@@ -607,20 +614,44 @@ class phys_model:
         param_lr_with = {"root_pose_mlp.base_quat": lr_explicit}
         return param_lr_startwith, param_lr_with
 
-    def _param_lrs(self):
-        """Top-level param name -> peak lr (0 = frozen)."""
+    @staticmethod
+    def _leaf_name(path) -> str:
+        parts = []
+        for p in path:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "idx"):
+                parts.append(str(p.idx))
+            else:
+                parts.append(str(p))
+        return ".".join(parts)
+
+    def _param_lr_tree(self):
+        """Per-leaf peak lr pytree via dotted-name routing, exactly the
+        reference's match_param_name semantics (dp_model.py:478-509):
+        'with' matches take priority over 'startwith'."""
         startwith, withmap = self.get_lr_dict()
-        out = {}
-        for name in self.params:
+
+        def assign(path, leaf):
+            name = self._leaf_name(path)
             matched_loose, lr_loose = match_param_name(name, withmap, "with")
             matched, lr = match_param_name(name, startwith, "startwith")
             if matched_loose:
-                out[name] = lr_loose
-            elif matched:
-                out[name] = lr
-            else:
-                out[name] = 0.0
-        return out
+                return lr_loose
+            if matched:
+                return lr
+            return 0.0
+
+        return jax.tree_util.tree_map_with_path(assign, self.params)
+
+    def _param_lrs(self):
+        """Top-level param name -> peak lr (0 = frozen), for logging and
+        group-level grad statistics."""
+        tree = self._param_lr_tree()
+        return {
+            k: float(max(jax.tree_util.tree_leaves(v) or [0.0]))
+            for k, v in tree.items()
+        }
 
     def add_optimizer(self, opts):
         total = max(2, self.total_iters)
@@ -637,18 +668,16 @@ class phys_model:
             return jnp.where(s < pct_start, up, down)
 
         self._lr_schedule = onecycle
-        lrs = self._param_lrs()
-        self.param_peak_lr = lrs
+        self.param_lr_tree = self._param_lr_tree()
+        self.param_peak_lr = self._param_lrs()
+        lr_tree = self.param_lr_tree
 
         def scale_by_group():
             def init_fn(params):
                 return optax.EmptyState()
 
             def update_fn(updates, state, params=None):
-                scaled = {
-                    k: jax.tree.map(lambda g: g * lrs[k], v)
-                    for k, v in updates.items()
-                }
+                scaled = jax.tree.map(lambda g, lr: g * lr, updates, lr_tree)
                 return scaled, state
 
             return optax.GradientTransformation(init_fn, update_fn)

@@ -95,6 +95,56 @@ def default_sim_params(model: ArticulationModel) -> SimParams:
 # force evaluation
 # ---------------------------------------------------------------------------
 
+def _matmul_vjp_gather(idx, onehot):
+    """Row gather ``x[:, idx]`` whose backward is a one-hot matmul.
+
+    The autodiff of a plain advanced-index gather is a scatter-add, which
+    XLA:TPU serializes over duplicate indices — catastrophic inside the
+    substep loop (the contact gather has thousands of rows per body). The
+    matmul transpose runs on the MXU and is deterministic.
+
+    idx: (N,) numpy constant; onehot: (N, B) constant with onehot[n, idx[n]]=1.
+    """
+    oh = jnp.asarray(onehot)
+
+    @jax.custom_vjp
+    def gather(x):
+        return x[:, idx]
+
+    def fwd(x):
+        return x[:, idx], x.shape
+
+    def bwd(shape, ct):
+        # ct: (E, N, k) -> (E, B, k)
+        return (jnp.einsum("nb,enk->ebk", oh, ct),)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _matmul_vjp_gather_1d(idx_flat, onehot, out_shape):
+    """Per-dof gather ``p[idx]``/(E,n)->(E,...) with matmul backward.
+
+    idx_flat: (M,) flat indices into the last axis; onehot: (M, n).
+    Works for both (n,) parameter vectors and (E, n) batched vectors.
+    """
+    oh = jnp.asarray(onehot)
+
+    @jax.custom_vjp
+    def gather(x):
+        return x[..., idx_flat].reshape(x.shape[:-1] + out_shape)
+
+    def fwd(x):
+        return gather(x), None
+
+    def bwd(_, ct):
+        ctf = ct.reshape(ct.shape[: ct.ndim - len(out_shape)] + (-1,))
+        return (jnp.einsum("mn,...m->...n", oh, ctf),)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def _eval_joint_force(q, qd, target, ke, kd, act, lo, hi, limit_ke, limit_kd):
     """Scalar PD + limit law (reference integrator_euler.py:261-286).
 
@@ -112,6 +162,7 @@ def eval_body_contacts(
     params: SimParams,
     state: SimState,
     scatter_contact: jnp.ndarray,  # (B, C) one-hot, trace-time constant
+    gather_contact=None,  # matmul-VJP row gather C<-B (from the integrator)
 ):
     """Penalty ground contact, vectorized over (E, C).
 
@@ -129,9 +180,14 @@ def eval_body_contacts(
 
     com = params.body_com if params.body_com is not None else jnp.asarray(model.body_com)
 
-    X = state.body_q[:, cbody]  # (E, C, 7)
-    w = state.body_qd[:, cbody, 0:3]
-    v = state.body_qd[:, cbody, 3:6]
+    if gather_contact is None:
+        X = state.body_q[:, cbody]  # (E, C, 7)
+        wv = state.body_qd[:, cbody]
+    else:
+        X = gather_contact(state.body_q)
+        wv = gather_contact(state.body_qd)
+    w = wv[..., 0:3]
+    v = wv[..., 3:6]
 
     n = jnp.array([0.0, 1.0, 0.0])
     cp = transform_point(X, cpoint) - n * cdist[..., None]
@@ -163,7 +219,8 @@ def eval_body_contacts(
 
 def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimState,
                      joint_target: jnp.ndarray, joint_act: jnp.ndarray,
-                     scatter_parent: jnp.ndarray):
+                     scatter_parent: jnp.ndarray,
+                     gather_parent=None, gather_dof=None):
     """Joint PD + limit + attachment-spring forces, vectorized over (E, B).
 
     Mirrors eval_body_joints (reference integrator_euler.py:289-451). Joint i
@@ -184,14 +241,23 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
     parent_safe = np.where(parent >= 0, parent, 0)
     has_parent = jnp.asarray((parent >= 0).astype(np.float32))[None, :, None]
 
-    X_wp = transform_mul(state.body_q[:, parent_safe], X_p_all[None, :, :])
-    # bodies with no parent: X_wp = X_pj alone (reference :317-321)
-    X_wp = has_parent * X_wp + (1.0 - has_parent) * jnp.broadcast_to(X_p_all, (E, B, 7))
+    if gather_parent is None:
+        pq = state.body_q[:, parent_safe]
+        pqd = state.body_qd[:, parent_safe]
+    else:
+        pq = gather_parent(state.body_q)
+        pqd = gather_parent(state.body_qd)
 
-    r_p = X_wp[..., 0:3] - transform_point(state.body_q[:, parent_safe], com[parent_safe])
+    # X_p_all: (B,7) static or (E,B,7) when live-overridden (lab4d query_ja)
+    X_p_b = X_p_all if X_p_all.ndim == 3 else X_p_all[None, :, :]
+    X_wp = transform_mul(pq, X_p_b)
+    # bodies with no parent: X_wp = X_pj alone (reference :317-321)
+    X_wp = has_parent * X_wp + (1.0 - has_parent) * jnp.broadcast_to(X_p_b, (E, B, 7))
+
+    r_p = X_wp[..., 0:3] - transform_point(pq, com[parent_safe])
     r_p = r_p * has_parent
-    w_p = state.body_qd[:, parent_safe, 0:3] * has_parent
-    v_p = state.body_qd[:, parent_safe, 3:6] * has_parent
+    w_p = pqd[..., 0:3] * has_parent
+    v_p = pqd[..., 3:6] * has_parent
 
     X_wc = state.body_q  # (E, B, 7) — X_cj not applied (reference :337)
     r_c = X_wc[..., 0:3] - transform_point(state.body_q, com)
@@ -214,10 +280,16 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
     dof_idx = np.clip(
         model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, model.n_qd - 1
     )  # (B, 3)
-    tgt = joint_target[:, dof_idx]  # (E, B, 3)
-    act = joint_act[:, dof_idx]
-    ke3 = params.joint_target_ke[dof_idx]  # (B, 3)
-    kd3 = params.joint_target_kd[dof_idx]
+    if gather_dof is None:
+        tgt = joint_target[:, dof_idx]  # (E, B, 3)
+        act = joint_act[:, dof_idx]
+        ke3 = params.joint_target_ke[dof_idx]  # (B, 3)
+        kd3 = params.joint_target_kd[dof_idx]
+    else:
+        tgt = gather_dof(joint_target)
+        act = gather_dof(joint_act)
+        ke3 = gather_dof(params.joint_target_ke)
+        kd3 = gather_dof(params.joint_target_kd)
     lo3 = jnp.asarray(model.joint_limit_lower)[dof_idx]
     hi3 = jnp.asarray(model.joint_limit_upper)[dof_idx]
     lke3 = jnp.asarray(model.joint_limit_ke)[dof_idx]
@@ -365,12 +437,29 @@ class SemiImplicitIntegrator:
                 sp[parent[i], i] = 1.0
         self.scatter_parent = jnp.asarray(sp)
 
+        # gathers with matmul-backed VJPs (see _matmul_vjp_gather)
+        parent_safe = np.where(parent >= 0, parent, 0)
+        oh_p = np.zeros((B, B), np.float32)
+        oh_p[np.arange(B), parent_safe] = 1.0
+        self.gather_parent = _matmul_vjp_gather(parent_safe, oh_p)
+
+        dof_idx = np.clip(
+            model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, model.n_qd - 1
+        )
+        flat = dof_idx.reshape(-1)
+        oh_d = np.zeros((len(flat), model.n_qd), np.float32)
+        oh_d[np.arange(len(flat)), flat] = 1.0
+        self.gather_dof = _matmul_vjp_gather_1d(flat, oh_d, (B, 3))
+
         if model.contact_count > 0:
             sc = np.zeros((B, model.contact_count), np.float32)
             sc[model.contact_body, np.arange(model.contact_count)] = 1.0
             self.scatter_contact = jnp.asarray(sc)
+            oh_c = np.ascontiguousarray(sc.T)
+            self.gather_contact = _matmul_vjp_gather(model.contact_body, oh_c)
         else:
             self.scatter_contact = None
+            self.gather_contact = None
 
     def compute_forces(self, params, state, joint_target, joint_act, res_f):
         """Returns (body_f, grf, jaf) with the reference's observable
@@ -381,11 +470,12 @@ class SemiImplicitIntegrator:
         body_f = res_f
         if self.scatter_contact is not None and model.ground:
             body_f = body_f + eval_body_contacts(
-                model, params, state, self.scatter_contact
+                model, params, state, self.scatter_contact, self.gather_contact
             )
         grf = body_f
         body_f = body_f + eval_body_joints(
-            model, params, state, joint_target, joint_act, self.scatter_parent
+            model, params, state, joint_target, joint_act, self.scatter_parent,
+            self.gather_parent, self.gather_dof,
         )
         jaf = body_f - grf
         return body_f, grf, jaf
@@ -404,10 +494,11 @@ class SemiImplicitIntegrator:
         body_f = res_f
         if self.scatter_contact is not None and model.ground:
             body_f = body_f + eval_body_contacts(
-                model, params, state, self.scatter_contact
+                model, params, state, self.scatter_contact, self.gather_contact
             )
         body_f = body_f + eval_body_joints(
-            model, params, state, joint_target, joint_act, self.scatter_parent
+            model, params, state, joint_target, joint_act, self.scatter_parent,
+            self.gather_parent, self.gather_dof,
         )
         return integrate_bodies(self.model, params, state, body_f, dt)
 
@@ -437,6 +528,14 @@ def rollout(
     n_intervals = (S - 1) // sub
     assert S == n_intervals * sub + 1, (S, sub)
 
+    # substep-level remat: the backward pass stores only the carried state
+    # per substep (KBs) and recomputes the force pipeline, instead of
+    # saving the (E, n_contacts, ...) force intermediates (MBs/substep)
+    # that otherwise dominate HBM traffic
+    step_fn = lambda s, t, a, r: integrator.step_only(params, s, t, a, r, dt)
+    if use_remat:
+        step_fn = jax.checkpoint(step_fn)
+
     def interval(state, inputs):
         tgt_i, act_i, rf_i = inputs  # each (sub, ...)
         frame_state = state
@@ -447,7 +546,7 @@ def rollout(
 
         def inner(s, x):
             t, a, r = x
-            return integrator.step_only(params, s, t, a, r, dt), None
+            return step_fn(s, t, a, r), None
 
         state, _ = jax.lax.scan(
             inner, state, (tgt_i[1:], act_i[1:], rf_i[1:])

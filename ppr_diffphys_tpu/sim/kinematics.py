@@ -86,7 +86,10 @@ def eval_fk(
         qs = int(model.joint_q_start[i])
         qds = int(model.joint_qd_start[i])
         axis = jnp.asarray(model.joint_axis[i])
-        X_pj = jnp.broadcast_to(X_p_all[i], batch + (7,))
+        # X_p_all: (B, 7) static, or batch-broadcastable (..., B, 7) when
+        # the lab4d layer live-overrides joint anchors (dp_interface
+        # query_ja, reference dp_interface.py:438-466)
+        X_pj = jnp.broadcast_to(X_p_all[..., i, :], batch + (7,))
         X_cj = jnp.asarray(model.joint_X_c[i])
 
         if parent >= 0:

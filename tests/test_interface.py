@@ -1,0 +1,127 @@
+"""lab4d coupling layer tests (reference dp_interface.py behavior) using
+the pure-JAX mock fields from models/fields.py — the 'fake backend' test
+strategy SURVEY.md §4 prescribes for the external coupling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppr_diffphys_tpu.utils.config import build_opts
+
+
+@pytest.fixture(scope="module")
+def interface():
+    from ppr_diffphys_tpu.data.robot import URDFRobot
+    from ppr_diffphys_tpu.models.fields import (
+        CameraField,
+        ObjectField,
+        IntrinsicsField,
+    )
+    from ppr_diffphys_tpu.models.interface import phys_interface
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    offsets = [0, 12, 30]
+    robot = URDFRobot("/root/reference/data/urdf_templates/quad.urdf")
+    obj = ObjectField(offsets, robot, k1)
+    scn = CameraField(offsets, k2, name="scene_field")
+    intr = IntrinsicsField(offsets)
+
+    opts = build_opts(
+        urdf_template="quad",
+        num_rounds=1,
+        iters_per_round=2,
+        logroot="/tmp/ppr_iface",
+        pos_distill_wt=0.1,
+        phys_vid=[0, 1],
+        noise_std=0.0,
+    )
+    model_dict = dict(
+        scene_field=(scn, scn.init_params),
+        object_field=(obj, obj.init_params),
+        intrinsics=(intr, intr.init_params),
+        frame_interval=1.0 / 30,
+        frame_info=None,
+    )
+    return phys_interface(opts, model_dict)
+
+
+def test_interface_init(interface):
+    m = interface
+    assert m.n_links == 26 and m.n_dof == 75
+    assert "kinematics_proxy" in m.params
+    assert "kinematics_distilled" in m.params
+    assert "root_pose_mlp" not in m.params
+    # lr routing: field logscales trainable, rest of fields frozen
+    lrs = m.param_lr_tree
+    assert lrs["object_field"]["logscale"] > 0
+    assert lrs["scene_field"]["logscale"] > 0
+    assert np.all(
+        np.asarray(
+            jax.tree_util.tree_leaves(lrs["object_field"]["camera_mlp"])
+        ) == 0
+    )
+    assert max(jax.tree_util.tree_leaves(lrs["kinematics_proxy"])) > 0
+
+
+def test_interface_forward_and_update(interface):
+    m = interface
+    m.reinit_envs(2, frames_per_wdw=2, is_eval=False)
+    out = m.forward()
+    assert np.isfinite(float(out["total_loss"]))
+    assert float(out["loss_pos_distill"]) >= 0
+    gd = m.update()
+    assert any(k.startswith("grad/") for k in gd)
+    # proxy received gradient
+    assert gd.get("grad/kinematics_proxy", 0) >= 0
+
+
+def test_compute_frame_start_bounds(interface):
+    m = interface
+    m.reinit_envs(4, frames_per_wdw=3, is_eval=False)
+    starts = np.asarray(m.compute_frame_start(jax.random.PRNGKey(1)))
+    assert starts.shape == (4,)
+    # windows must fit within their videos
+    off = m.frame_offset_raw
+    for s in starts:
+        vid = int(np.searchsorted(off, s, side="right") - 1)
+        assert s + m.frames_per_wdw <= off[vid + 1] + 1e-6
+
+
+def test_override_states_roundtrip(interface):
+    m = interface
+    before = np.asarray(m.params["kinematics_proxy"]["scene_field"]["logscale"])
+    m.params["scene_field"]["logscale"] = jnp.asarray(0.37)
+    m.override_control_ref_states()
+    after = np.asarray(m.params["kinematics_proxy"]["scene_field"]["logscale"])
+    assert after == pytest.approx(0.37)
+
+    m.params["kinematics_distilled"]["scene_field"]["logscale"] = jnp.asarray(-0.21)
+    m.override_states_inv()
+    assert np.asarray(m.params["scene_field"]["logscale"]) == pytest.approx(-0.21)
+    # restore
+    m.params["scene_field"]["logscale"] = jnp.asarray(float(before))
+
+
+def test_query_ja_anchors(interface):
+    """joint_X_p override has the right shape and scales with logscale."""
+    from ppr_diffphys_tpu.models.interface import query_ja
+
+    m = interface
+    art_params = dict(m.params["object_field"]["articulation"])
+    steps = jnp.arange(3.0)
+    _, xp1 = query_ja(steps, m.articulation_spec, art_params, m.n_links)
+    assert xp1.shape == (3, 26, 7)
+    art_params["logscale"] = jnp.asarray(np.log(2.0), jnp.float32)
+    _, xp2 = query_ja(steps, m.articulation_spec, art_params, m.n_links)
+    np.testing.assert_allclose(
+        np.asarray(xp2[:, 1:, :3]), np.asarray(xp1[:, 1:, :3]) / 2.0, atol=1e-5
+    )
+
+
+def test_correct_scale_terminates(interface):
+    m = interface
+    m.correct_scale(np.arange(3))
+    fh = m.get_foot_height_frame(np.arange(3))
+    assert np.isfinite(fh).all()
