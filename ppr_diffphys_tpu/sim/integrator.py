@@ -290,10 +290,12 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
         act = gather_dof(joint_act)
         ke3 = gather_dof(params.joint_target_ke)
         kd3 = gather_dof(params.joint_target_kd)
-    lo3 = jnp.asarray(model.joint_limit_lower)[dof_idx]
-    hi3 = jnp.asarray(model.joint_limit_upper)[dof_idx]
-    lke3 = jnp.asarray(model.joint_limit_ke)[dof_idx]
-    lkd3 = jnp.asarray(model.joint_limit_kd)[dof_idx]
+    # limit constants gathered in numpy at trace time (keeps them out of
+    # the compiled program — required for the pallas kernel path)
+    lo3 = jnp.asarray(model.joint_limit_lower[dof_idx])
+    hi3 = jnp.asarray(model.joint_limit_upper[dof_idx])
+    lke3 = jnp.asarray(model.joint_limit_ke[dof_idx])
+    lkd3 = jnp.asarray(model.joint_limit_kd[dof_idx])
 
     t_total = jnp.zeros((E, B, 3))
     f_total = jnp.zeros((E, B, 3))

@@ -95,30 +95,80 @@ def build_interval_kernel(
     gather_oh[np.arange(model.contact_count), model.contact_body] = 1.0
     gather_oh = jnp.asarray(gather_oh)
 
+    # in-kernel gathers must be matmuls (Mosaic supports only 2D gathers)
+    parent_safe = np.where(model.joint_parent >= 0, model.joint_parent, 0)
+    oh_p = np.zeros((B, B), np.float32)
+    oh_p[np.arange(B), parent_safe] = 1.0
+    oh_p = jnp.asarray(oh_p)
+    gather_parent_mm = lambda x: jnp.einsum("nb,ebk->enk", oh_p, x)
+
+    dof_idx = np.clip(
+        model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, n_qd - 1
+    ).reshape(-1)
+    oh_d = np.zeros((len(dof_idx), n_qd), np.float32)
+    oh_d[np.arange(len(dof_idx)), dof_idx] = 1.0
+    oh_d = jnp.asarray(oh_d)
+
+    def gather_dof_mm(x):
+        out = jnp.einsum("mn,...n->...m", oh_d, x)
+        return out.reshape(x.shape[:-1] + (B, 3))
+
     def substep(state, tgt, act):
         body_f = _contact_forces_onehot(
             model, params, state, integrator.scatter_contact, gather_oh
         )
         body_f = body_f + eval_body_joints(
             model, params, state, tgt, act, integrator.scatter_parent,
-            integrator.gather_parent, integrator.gather_dof,
+            gather_parent_mm, gather_dof_mm,
         )
         from .integrator import integrate_bodies
 
         return integrate_bodies(model, params, state, body_f, dt)
 
-    def kernel(q_ref, qd_ref, tgt_ref, act_ref, out_q_ref, out_qd_ref):
+    # ---- lift trace-time constants into explicit kernel inputs ----------
+    # pallas kernels may not capture array constants; closure_convert turns
+    # `substep` into a pure function + the list of constants it closed over
+    def substep_flat(q, qd, tgt, act):
+        st = substep(SimState(q, qd), tgt, act)
+        return st.body_q, st.body_qd
+
+    q_aval = jax.ShapeDtypeStruct((e_tile, B, 7), jnp.float32)
+    qd_aval = jax.ShapeDtypeStruct((e_tile, B, 6), jnp.float32)
+    u_aval = jax.ShapeDtypeStruct((e_tile, n_qd), jnp.float32)
+    closed = jax.make_jaxpr(substep_flat)(q_aval, qd_aval, u_aval, u_aval)
+    consts = [jnp.asarray(c) for c in closed.consts]
+
+    def pure_fn(q, qd, tgt, act, *cvals):
+        return jax.core.eval_jaxpr(closed.jaxpr, list(cvals), q, qd, tgt, act)
+
+    # Mosaic VMEM wants numeric dtypes; ship bools as int8 and restore
+    const_dtypes = [c.dtype for c in consts]
+    consts_in = [
+        c.astype(jnp.int8) if c.dtype == jnp.bool_ else c for c in consts
+    ]
+
+    def kernel(q_ref, qd_ref, tgt_ref, act_ref, *rest):
+        const_refs = rest[:-2]
+        out_q_ref, out_qd_ref = rest[-2:]
+        cvals = [
+            r[:].astype(jnp.bool_) if d == jnp.bool_ else r[:]
+            for r, d in zip(const_refs, const_dtypes)
+        ]
+
         def body(i, carry):
             q, qd = carry
-            st = SimState(q, qd)
-            st = substep(st, tgt_ref[i], act_ref[i])
-            return (st.body_q, st.body_qd)
+            return tuple(pure_fn(q, qd, tgt_ref[i], act_ref[i], *cvals))
 
         q, qd = jax.lax.fori_loop(
             0, substeps, body, (q_ref[:], qd_ref[:])
         )
         out_q_ref[:] = q
         out_qd_ref[:] = qd
+
+    def _full_spec(c):
+        return pl.BlockSpec(
+            c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM
+        )
 
     def run(state: SimState, joint_targets, joint_acts):
         E = state.body_q.shape[0]
@@ -140,7 +190,7 @@ def build_interval_kernel(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((substeps, e_tile, n_qd), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + [_full_spec(c) for c in consts_in],
             out_specs=(
                 pl.BlockSpec((e_tile, B, 7), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -148,7 +198,7 @@ def build_interval_kernel(
                              memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
-        )(state.body_q, state.body_qd, joint_targets, joint_acts)
+        )(state.body_q, state.body_qd, joint_targets, joint_acts, *consts_in)
         return SimState(q, qd)
 
     return run

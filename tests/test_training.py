@@ -1,0 +1,151 @@
+"""Training-layer tests: model construction, loss decrease, grad safety,
+checkpoint/rollback, schedules, MLP shapes (SURVEY.md §4 item c)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppr_diffphys_tpu.utils.config import build_opts, interp_wt, match_param_name
+
+
+@pytest.fixture(scope="module")
+def model():
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=4,
+        logroot="/tmp/ppr_train_test",
+    )
+    dl = DataLoader(opts)
+    m = phys_model(opts, dl)
+    m.reinit_envs(2, frames_per_wdw=4, is_eval=False)
+    return m
+
+
+def test_global_q_init_grounds_feet(model):
+    """init_global_q drops the root so the lowest mesh point sits at y=0
+    (reference dp_model.py:243-267)."""
+    gq = np.asarray(model.params["global_q"])
+    assert gq.shape == (7,)
+    assert abs(gq[1]) > 1e-3  # a non-trivial vertical offset was applied
+    # verify: FK at frame 0 with the offset puts the lowest point near 0
+    steps = jnp.zeros((1, 1))
+    batch = model.get_batch_input(model.params, steps)
+    from ppr_diffphys_tpu.sim.kinematics import eval_fk
+
+    q = jnp.concatenate([batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1)
+    bq, _ = eval_fk(model.env, q)
+    fh = float(model.get_foot_height(bq[:, None])[0, 0])
+    assert abs(fh) < 0.01, fh
+
+
+def test_loss_decreases_over_iters(model):
+    losses = []
+    for it in range(6):
+        model.progress = it / 20.0
+        out = model.forward()
+        model.update()
+        losses.append(float(out["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(model, tmp_path):
+    model.save_checkpoint(3)
+    p = os.path.join(model.save_dir, "ckpt_phys_0003.pth")
+    assert os.path.exists(p)
+    before = np.asarray(model.params["body_mass"]).copy()
+    model.params["body_mass"] = model.params["body_mass"] * 2.0
+    model.load_checkpoint(p)
+    np.testing.assert_allclose(np.asarray(model.params["body_mass"]), before)
+
+
+def test_grad_rollback_on_blowup(model):
+    """check_grad zeroes the update and restores the 2-round-old snapshot
+    on grad-norm blowup (reference dp_model.py:936-963)."""
+    model.save_checkpoint(0)
+    model.save_checkpoint(1)  # fills cache[0]
+    cached = np.asarray(model.model_cache[0]["body_mass"]).copy()
+    model.params["body_mass"] = model.params["body_mass"] * 3.0
+    fake_grads = jax.tree.map(jnp.ones_like, model.params)
+    result = model.check_grad_dict(fake_grads, {}, gnorm=1e9)
+    assert result is None
+    np.testing.assert_allclose(np.asarray(model.params["body_mass"]), cached)
+
+
+def test_grad_queue_outlier_clipping(model):
+    norms = {k: 1.0 for k in model.params if model.param_peak_lr.get(k, 0) > 0}
+    model.grad_queue = {}
+    for _ in range(12):
+        out = model.check_grad_dict(
+            jax.tree.map(jnp.zeros_like, model.params), dict(norms), gnorm=0.1
+        )
+        assert out is not None
+    # now a 100x outlier on one param gets scaled to the median
+    big = dict(norms)
+    name = next(iter(norms))
+    big[name] = 100.0
+    scales, gd = model.check_grad_dict(
+        jax.tree.map(jnp.zeros_like, model.params), big, gnorm=0.5
+    )
+    assert scales[name] == pytest.approx(1.0 / 100.0, rel=1e-3)
+
+
+def test_onecycle_schedule(model):
+    s = model._lr_schedule
+    total = max(2, model.total_iters)
+    assert float(s(0)) == pytest.approx(1 / 25, rel=1e-3)
+    peak_step = 2.0  # pct_start = 2/total
+    assert float(s(peak_step)) == pytest.approx(1.0, rel=1e-2)
+    assert float(s(total)) == pytest.approx(1 / 25 / 100, rel=5e-2)
+
+
+def test_noise_annealing(model):
+    """Init-state noise is annealed to zero at progress 2/3
+    (reference dp_model.py:700-712)."""
+    assert float(np.clip(1 - 1.5 * 0.0, 0, 1)) == 1.0
+    assert float(np.clip(1 - 1.5 * (2 / 3), 0, 1)) == 0.0
+
+
+def test_interp_wt_and_match_param_name():
+    assert interp_wt((0, 1), (1, 0), 0.5) == pytest.approx(0.5)
+    assert interp_wt((0, 1), (1, 0), 2.0) == pytest.approx(0.0)  # clipped
+    ok, lr = match_param_name("root_pose_mlp.base_quat", {"root_pose_mlp.base_quat": 2.0}, "with")
+    assert ok and lr == 2.0
+    ok, lr = match_param_name("vel_mlp.trunk.kernel", {"vel_mlp": 1.0}, "startwith")
+    assert ok and lr == 1.0
+    ok, _ = match_param_name("other", {"vel_mlp": 1.0}, "startwith")
+    assert not ok
+
+
+def test_mlp_output_shapes(model):
+    flat = jnp.array([0.0, 3.5, 10.0])
+    for name, dim in [
+        ("root_pose_mlp", 6),
+        ("joint_angle_mlp", model.n_dof),
+        ("vel_mlp", 6 + model.n_dof),
+        ("torque_mlp", model.n_dof),
+        ("residual_f_mlp", 6 * model.n_links),
+    ]:
+        out = model._mlp(model.params, name, flat)
+        assert out.shape == (3, dim), (name, out.shape)
+
+
+def test_amp_interp_extrapolates(model):
+    """Device-side interpolation matches scipy interp1d incl. extrapolation
+    (reference dp_model.py:421-427)."""
+    import scipy.interpolate
+
+    table = np.asarray(model.amp_table)
+    f = scipy.interpolate.interp1d(
+        np.arange(len(table)), table, kind="linear",
+        fill_value="extrapolate", axis=0,
+    )
+    pts = np.array([[0.0, 0.5, 17.3, -0.5, len(table) - 0.5, len(table) + 1.0]])
+    ours = np.asarray(model._interp_amp(jnp.array(pts)))[0]
+    ref = f(pts[0])
+    np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-4)
