@@ -28,3 +28,14 @@ import jax as _jax
 # Model code that wants bf16 MXU throughput opts back in locally with
 # `jax.default_matmul_precision('bfloat16')`.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the unrolled-FK + scanned-rollout programs
+# are large and XLA compiles them slowly (minutes for the quad/human
+# templates); cache compiled executables across processes. Override the
+# location with PPR_COMPILE_CACHE, disable with PPR_COMPILE_CACHE=0.
+import os as _os
+
+_cache_dir = _os.environ.get("PPR_COMPILE_CACHE", "/tmp/ppr_jax_cache")
+if _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

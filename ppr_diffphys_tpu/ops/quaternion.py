@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import kernel_math
+
 _EPS = 1e-9
 
 
@@ -27,9 +29,14 @@ _EPS = 1e-9
 # ---------------------------------------------------------------------------
 
 def quat_identity(shape=(), dtype=jnp.float32) -> jax.Array:
-    """Identity quaternion(s) xyzw, shape ``shape + (4,)``."""
-    q = jnp.zeros(tuple(shape) + (4,), dtype=dtype)
-    return q.at[..., 3].set(1.0)
+    """Identity quaternion(s) xyzw, shape ``shape + (4,)``.
+
+    Built by concatenation (not ``.at[].set``) so it lowers inside Pallas
+    kernels, which have no scatter primitive."""
+    shape = tuple(shape)
+    return jnp.concatenate(
+        [jnp.zeros(shape + (3,), dtype), jnp.ones(shape + (1,), dtype)], -1
+    )
 
 
 def quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -119,7 +126,7 @@ def quat_to_axis_angle(q: jax.Array) -> jax.Array:
     is_zero = sq < 1e-12
     # where-guard so the sqrt grad path is blocked in the zero branch
     norms = jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
-    half = jnp.arctan2(norms, w)
+    half = kernel_math.atan2(norms, w)
     angles = 2.0 * half
     small = jnp.abs(angles) < 1e-6
     sin_half_over = jnp.where(
@@ -246,9 +253,9 @@ def quat_to_compound(q: jax.Array) -> jax.Array:
     Safe at the gimbal singularity (|b| = pi/2) via clamping.
     """
     m = quat_to_matrix(q)
-    a = jnp.arctan2(-m[..., 1, 2], m[..., 2, 2])
-    b = jnp.arcsin(jnp.clip(m[..., 0, 2], -1.0 + 1e-7, 1.0 - 1e-7))
-    c = jnp.arctan2(-m[..., 0, 1], m[..., 0, 0])
+    a = kernel_math.atan2(-m[..., 1, 2], m[..., 2, 2])
+    b = kernel_math.asin(jnp.clip(m[..., 0, 2], -1.0 + 1e-7, 1.0 - 1e-7))
+    c = kernel_math.atan2(-m[..., 0, 1], m[..., 0, 0])
     return jnp.stack([a, b, c], axis=-1)
 
 
@@ -272,7 +279,7 @@ def quat_twist_angle(axis: jax.Array, q: jax.Array) -> jax.Array:
     gradient singularity at |w|=1 that the reference scrubs post-hoc.
     """
     s = jnp.sum(q[..., :3] * axis, axis=-1)
-    return 2.0 * jnp.arctan2(s, q[..., 3])
+    return 2.0 * kernel_math.atan2(s, q[..., 3])
 
 
 def rot_angle(m: jax.Array) -> jax.Array:

@@ -348,14 +348,29 @@ class ArticulationModel:
     def contact_count(self) -> int:
         return 0 if self.contact_body is None else len(self.contact_body)
 
-    def make_ground_contacts(self):
+    def make_ground_contacts(self, mode: str = "all"):
         """Generate static ground-contact candidate points from collision
         shapes, mirroring wp.sim.Model.collide (called once per env build in
         the reference, dp_model.py:401):
         sphere -> center point with dist=radius; capsule -> both axis ends
         with dist=radius; box -> 8 corners; mesh -> every vertex.
         Points are in body-local coordinates.
+
+        mode:
+          'all'        every mesh vertex (reference-exact)
+          'hull'       convex-hull vertices only — for shallow ground
+                       penetration only hull vertices can touch the plane,
+                       so the contact set is equivalent at a fraction of
+                       the cost (laikago: 3848 -> 1454 candidates)
+          'hull:<eps>' hull vertices voxel-clustered at <eps> meters
+                       (further decimation; slightly coarser force
+                       discretization)
         """
+        eps = None
+        if mode.startswith("hull:"):
+            eps = float(mode.split(":")[1])
+            mode = "hull"
+
         body, point, dist, mat = [], [], [], []
         for s in self.shapes:
             X_p, X_q = s.xform[0:3], s.xform[3:7]
@@ -380,7 +395,21 @@ class ArticulationModel:
                         for sz in (-1, 1):
                             _add(np.array([sx * hx, sy * hy, sz * hz]), 0.0)
             elif s.geo_type == GEO_MESH:
-                for v in s.mesh.vertices * s.scale[None]:
+                verts = s.mesh.vertices * s.scale[None]
+                if mode == "hull" and len(verts) > 8:
+                    from scipy.spatial import ConvexHull
+
+                    verts = verts[ConvexHull(verts).vertices]
+                    if eps is not None:
+                        # voxel-cluster: one representative (mean) per cell
+                        keys = np.floor(verts / eps).astype(np.int64)
+                        _, inv = np.unique(keys, axis=0, return_inverse=True)
+                        reps = np.zeros((inv.max() + 1, 3))
+                        cnt = np.zeros(inv.max() + 1)
+                        np.add.at(reps, inv, verts)
+                        np.add.at(cnt, inv, 1.0)
+                        verts = reps / cnt[:, None]
+                for v in verts:
                     _add(v, 0.0)
 
         self.contact_body = np.asarray(body, np.int32)

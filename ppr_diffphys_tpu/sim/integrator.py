@@ -145,6 +145,12 @@ def _matmul_vjp_gather_1d(idx_flat, onehot, out_shape):
     return gather
 
 
+def _col(x, k):
+    """x[..., k] as an explicit slice (integer-index gathers do not lower
+    in Mosaic)."""
+    return jax.lax.index_in_dim(x, k, axis=x.ndim - 1, keepdims=False)
+
+
 def _eval_joint_force(q, qd, target, ke, kd, act, lo, hi, limit_ke, limit_kd):
     """Scalar PD + limit law (reference integrator_euler.py:261-286).
 
@@ -254,7 +260,13 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
     # bodies with no parent: X_wp = X_pj alone (reference :317-321)
     X_wp = has_parent * X_wp + (1.0 - has_parent) * jnp.broadcast_to(X_p_b, (E, B, 7))
 
-    r_p = X_wp[..., 0:3] - transform_point(pq, com[parent_safe])
+    # parent COMs: fold the gather into numpy when com is static (keeps the
+    # pallas kernel free of gathers)
+    if params.body_com is None:
+        com_p = jnp.asarray(model.body_com[parent_safe])
+    else:
+        com_p = com[parent_safe]
+    r_p = X_wp[..., 0:3] - transform_point(pq, com_p)
     r_p = r_p * has_parent
     w_p = pqd[..., 0:3] * has_parent
     v_p = pqd[..., 3:6] * has_parent
@@ -323,14 +335,16 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
         axis_c = quat_rotate(q_c, axis[None])
         # swing-twist angle, atan2 form (smooth; equals the reference's
         # acos*sign at :397-400 without its gradient singularity at w=1)
+        from ..ops import kernel_math
+
         s_tw = jnp.sum(r_err[..., :3] * axis[None], -1)
-        q_ang = 2.0 * jnp.arctan2(s_tw, r_err[..., 3])
+        q_ang = 2.0 * kernel_math.atan2(s_tw, r_err[..., 3])
         qd_ang = jnp.sum(w_err * axis_p, -1)
 
         fmag = _eval_joint_force(
-            q_ang, qd_ang, tgt[..., 0], ke3[None, ..., 0], kd3[None, ..., 0],
-            act[..., 0], lo3[None, ..., 0], hi3[None, ..., 0],
-            lke3[None, ..., 0], lkd3[None, ..., 0],
+            q_ang, qd_ang, _col(tgt, 0), _col(ke3, 0)[None], _col(kd3, 0)[None],
+            _col(act, 0), _col(lo3, 0)[None], _col(hi3, 0)[None],
+            _col(lke3, 0)[None], _col(lkd3, 0)[None],
         )
         t_rev = fmag[..., None] * axis_p
         swing_err = jnp.cross(axis_p, axis_c)
@@ -360,10 +374,10 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
         for k, ax in enumerate([jnp.broadcast_to(ex, angles.shape), ax1, ax2]):
             ax_w = quat_rotate(q_w, ax)
             fmag = _eval_joint_force(
-                angles[..., k], jnp.sum(ax_w * w_err, -1),
-                tgt[..., k], ke3[None, ..., k], kd3[None, ..., k], act[..., k],
-                lo3[None, ..., k], hi3[None, ..., k],
-                lke3[None, ..., k], lkd3[None, ..., k],
+                _col(angles, k), jnp.sum(ax_w * w_err, -1),
+                _col(tgt, k), _col(ke3, k)[None], _col(kd3, k)[None], _col(act, k),
+                _col(lo3, k)[None], _col(hi3, k)[None],
+                _col(lke3, k)[None], _col(lkd3, k)[None],
             )
             t_cmp = t_cmp + fmag[..., None] * ax_w
         t_cmp = jnp.clip(t_cmp, -10000.0, 10000.0)
@@ -400,14 +414,15 @@ def integrate_bodies(
     v1 = v0 + (f0 * inv_m + gravity * jnp.sign(inv_m)) * dt
     x1 = x_com + v1 * dt
 
-    # angular part in body frame with gyroscopic term
+    # angular part in body frame with gyroscopic term. The 3x3 inertia
+    # matvecs are written as broadcast multiply-sums: they are tiny, and
+    # Mosaic's matmul cannot lower the unequal (B,·)x(E,B,·) batch dims.
+    def _matvec33(M, x):  # (B,3,3) @ (E,B,3) -> (E,B,3)
+        return jnp.sum(M[None] * x[:, :, None, :], axis=-1)
+
     wb = quat_rotate_inv(r0, w0)
-    tb = quat_rotate_inv(r0, t0) - jnp.cross(
-        wb, jnp.einsum("bij,ebj->ebi", params.body_inertia, wb)
-    )
-    w1 = quat_rotate(
-        r0, wb + jnp.einsum("bij,ebj->ebi", params.body_inv_inertia, tb) * dt
-    )
+    tb = quat_rotate_inv(r0, t0) - jnp.cross(wb, _matvec33(params.body_inertia, wb))
+    w1 = quat_rotate(r0, wb + _matvec33(params.body_inv_inertia, tb) * dt)
     # dr = 0.5*dt * quat(w1, 0) * r0  (pre-damping w1, reference order :72-75)
     w1_quat = jnp.concatenate([w1, jnp.zeros_like(w1[..., :1])], -1)
     r1 = quat_normalize(r0 + 0.5 * dt * quat_mul(w1_quat, r0))

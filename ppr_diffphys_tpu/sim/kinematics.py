@@ -8,8 +8,11 @@ reference at dp_model.py:1068 and :1204). Differences by design:
   reference dp_model.py:1022-1130);
 - arbitrary leading batch dims (env, time) via broadcasting — callers vmap
   or simply pass stacked arrays; no per-frame host loop;
-- topology is trace-time constant (unrolled loop over the <=26 links), so
-  XLA sees static gathers and fuses the whole chain.
+- topology is trace-time constant; all per-joint *local* transforms and
+  joint-rate vectors are computed **vectorized across bodies** in one shot,
+  and only the parent-composition chain is unrolled (the naive per-body
+  unroll produced 14k-equation programs for the 26-body quad and
+  minutes-long XLA compiles).
 
 State conventions (identical to the integrator):
 - ``body_q``  (..., B, 7): world transform of the body origin, quat xyzw;
@@ -26,10 +29,12 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import (
     quat_from_axis_angle,
+    quat_identity,
     quat_mul,
     quat_normalize,
     quat_rotate,
@@ -47,6 +52,83 @@ from .builder import (
 )
 
 
+def _local_joint_quats(model: ArticulationModel, joint_q: jnp.ndarray):
+    """Vectorized local joint rotations (..., B, 4) + prismatic offsets
+    (..., B, 3) for all non-free joints at once."""
+    batch = joint_q.shape[:-1]
+    B = model.n_links
+    jt = model.joint_type
+
+    # (B, 3) static angle indices (clipped; masked by type later)
+    q_idx = np.clip(
+        model.joint_q_start[:, None] + np.arange(3)[None, :], 0, model.n_q - 1
+    )
+    ang3 = joint_q[..., q_idx]  # (..., B, 3)
+    axis = jnp.asarray(model.joint_axis)  # (B, 3)
+
+    q_rev = quat_from_axis_angle(axis, ang3[..., 0])  # (..., B, 4)
+
+    m_rev = jnp.asarray((jt == JOINT_REVOLUTE).astype(np.float32))[:, None]
+    q_local = quat_identity((B,))
+    q_local = q_rev * m_rev + q_local * (1.0 - m_rev)
+
+    if (jt == JOINT_COMPOUND).any():
+        q_off = jnp.asarray(model.joint_X_c[:, 3:7])  # (B, 4)
+        q_off_inv = q_off * jnp.asarray([-1.0, -1, -1, 1])
+        q_cmp = quat_mul(q_off, quat_mul(compound_to_quat(ang3), q_off_inv))
+        m_cmp = jnp.asarray((jt == JOINT_COMPOUND).astype(np.float32))[:, None]
+        q_local = q_cmp * m_cmp + q_local * (1.0 - m_cmp)
+
+    p_local = jnp.zeros(batch + (B, 3))
+    if (jt == JOINT_PRISMATIC).any():
+        m_pri = jnp.asarray((jt == JOINT_PRISMATIC).astype(np.float32))[:, None]
+        p_local = axis * ang3[..., 0:1] * m_pri
+
+    return q_local, p_local
+
+
+def _local_joint_rates(model: ArticulationModel, joint_q, joint_qd):
+    """Relative angular velocity of each joint in its parent-joint frame
+    (..., B, 3), vectorized (compound uses the instantaneous intrinsic-XYZ
+    axes, matching the force kernel)."""
+    batch = joint_q.shape[:-1]
+    B = model.n_links
+    jt = model.joint_type
+
+    q_idx = np.clip(
+        model.joint_q_start[:, None] + np.arange(3)[None, :], 0, model.n_q - 1
+    )
+    qd_idx = np.clip(
+        model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, model.n_qd - 1
+    )
+    ang3 = joint_q[..., q_idx]
+    rate3 = joint_qd[..., qd_idx]
+    axis = jnp.asarray(model.joint_axis)
+
+    w_local = jnp.zeros(batch + (B, 3))
+    m_rev = jnp.asarray((jt == JOINT_REVOLUTE).astype(np.float32))[:, None]
+    w_local = w_local + axis * rate3[..., 0:1] * m_rev
+
+    if (jt == JOINT_COMPOUND).any():
+        a, b = ang3[..., 0], ang3[..., 1]
+        ex = jnp.broadcast_to(jnp.array([1.0, 0, 0]), batch + (B, 3))
+        q0 = quat_from_axis_angle(ex, a)
+        ax1 = quat_rotate(q0, jnp.array([0.0, 1.0, 0.0]))
+        q1 = quat_from_axis_angle(ax1, b)
+        ax2 = quat_rotate(quat_mul(q1, q0), jnp.array([0.0, 0.0, 1.0]))
+        w_cmp = (
+            ex * rate3[..., 0:1] + ax1 * rate3[..., 1:2] + ax2 * rate3[..., 2:3]
+        )
+        # rotate into the joint frame offset: q_off ∘ w (X_cj identity for
+        # the URDF ball-joint convention; kept general)
+        q_off = jnp.asarray(model.joint_X_c[:, 3:7])
+        w_cmp = quat_rotate(jnp.broadcast_to(q_off, batch + (B, 4)), w_cmp)
+        m_cmp = jnp.asarray((jt == JOINT_COMPOUND).astype(np.float32))[:, None]
+        w_local = w_local + w_cmp * m_cmp
+
+    return w_local
+
+
 def eval_fk(
     model: ArticulationModel,
     joint_q: jnp.ndarray,
@@ -60,8 +142,8 @@ def eval_fk(
       joint_q: (..., n_q)
       joint_qd: (..., n_qd) or None (velocities all zero)
       joint_X_p: optional traced override of per-joint parent anchor
-        transforms (B, 7) — live-updated by the lab4d coupling layer
-        (reference dp_interface.py:438-466 query_ja)
+        transforms, (B, 7) or batch-broadcastable (..., B, 7) — live-updated
+        by the lab4d coupling layer (reference dp_interface.py:438-466)
       body_com: optional traced override of body COM (B, 3)
     Returns:
       body_q (..., B, 7), body_qd (..., B, 6)
@@ -70,116 +152,75 @@ def eval_fk(
     if joint_qd is None:
         joint_qd = jnp.zeros(batch + (model.n_qd,), joint_q.dtype)
 
-    X_p_all = (
-        jnp.asarray(model.joint_X_p) if joint_X_p is None else joint_X_p
-    )
+    X_p_all = jnp.asarray(model.joint_X_p) if joint_X_p is None else joint_X_p
+    if X_p_all.ndim == 2:
+        X_p_all = jnp.broadcast_to(X_p_all, batch + X_p_all.shape)
     com_all = jnp.asarray(model.body_com) if body_com is None else body_com
+
+    # vectorized local joint transforms + rates (the expensive quat math)
+    q_local, p_local = _local_joint_quats(model, joint_q)
+    w_rate = _local_joint_rates(model, joint_q, joint_qd)
+    X_jc_all = jnp.concatenate([p_local, q_local], -1)  # (..., B, 7)
+
+    # tree levels: all bodies at the same depth compose in parallel, so the
+    # program size scales with tree depth (~6) instead of body count (~26)
+    parent = model.joint_parent
+    depth = np.zeros(model.n_links, np.int32)
+    for i in range(model.n_links):
+        depth[i] = 0 if parent[i] < 0 else depth[parent[i]] + 1
+    levels = [np.nonzero(depth == d)[0] for d in range(depth.max() + 1)]
 
     body_q = [None] * model.n_links
     body_w = [None] * model.n_links
     body_v = [None] * model.n_links
     zeros3 = jnp.zeros(batch + (3,), joint_q.dtype)
 
-    for i in range(model.n_links):
+    # roots (free or fixed-to-world joints)
+    for i in levels[0]:
+        i = int(i)
         jtype = int(model.joint_type[i])
-        parent = int(model.joint_parent[i])
         qs = int(model.joint_q_start[i])
         qds = int(model.joint_qd_start[i])
-        axis = jnp.asarray(model.joint_axis[i])
-        # X_p_all: (B, 7) static, or batch-broadcastable (..., B, 7) when
-        # the lab4d layer live-overrides joint anchors (dp_interface
-        # query_ja, reference dp_interface.py:438-466)
-        X_pj = jnp.broadcast_to(X_p_all[..., i, :], batch + (7,))
-        X_cj = jnp.asarray(model.joint_X_c[i])
-
-        if parent >= 0:
-            X_wj = transform_mul(body_q[parent], X_pj)
-            w_p, v_p = body_w[parent], body_v[parent]
-            com_p_w = transform_point(body_q[parent], com_all[parent])
-        else:
-            X_wj = X_pj
-            w_p, v_p = zeros3, zeros3
-            com_p_w = zeros3
-
-        anchor_w = X_wj[..., 0:3]
-        q_wj = X_wj[..., 3:7]
-
+        X_pj = X_p_all[..., i, :]
         if jtype == JOINT_FREE:
             xq = joint_q[..., qs : qs + 7]
             xq = jnp.concatenate(
-                [xq[..., 0:3], quat_normalize(xq[..., 3:7])], axis=-1
+                [xq[..., 0:3], quat_normalize(xq[..., 3:7])], -1
             )
-            X_wc = transform_mul(X_wj, xq)
-            w = joint_qd[..., qds : qds + 3]
-            v_com = joint_qd[..., qds + 3 : qds + 6]
-            body_q[i], body_w[i], body_v[i] = X_wc, w, v_com
-            continue
-
-        if jtype == JOINT_FIXED:
-            X_jc = None  # identity
-            w_rel = zeros3
-        elif jtype == JOINT_REVOLUTE:
-            qi = joint_q[..., qs]
-            X_jc = jnp.concatenate(
-                [jnp.zeros(batch + (3,)), quat_from_axis_angle(axis, qi)], -1
-            )
-            w_rel = quat_rotate(q_wj, axis) * joint_qd[..., qds][..., None]
-        elif jtype == JOINT_PRISMATIC:
-            qi = joint_q[..., qs]
-            X_jc = jnp.concatenate(
-                [axis * qi[..., None], jnp.broadcast_to(jnp.array([0.0, 0, 0, 1.0]), batch + (4,))], -1
-            )
-            w_rel = zeros3
-        elif jtype == JOINT_COMPOUND:
-            angles = joint_q[..., qs : qs + 3]
-            q_off = X_cj[3:7]
-            q_rel = _compound_rel_quat(q_off, angles)
-            X_jc = jnp.concatenate(
-                [jnp.zeros(batch + (3,)), jnp.broadcast_to(q_rel, batch + (4,))], -1
-            )
-            # instantaneous axes of the intrinsic X-Y'-Z'' composition,
-            # expressed in the (joint frame ∘ X_cj) frame
-            a, b = angles[..., 0], angles[..., 1]
-            ex = jnp.broadcast_to(jnp.array([1.0, 0, 0]), batch + (3,))
-            q0 = quat_from_axis_angle(ex, a)
-            ax1 = quat_rotate(q0, jnp.array([0.0, 1.0, 0.0]))
-            q1 = quat_from_axis_angle(ax1, b)
-            ax2 = quat_rotate(quat_mul(q1, q0), jnp.array([0.0, 0.0, 1.0]))
-            w_local = (
-                ex * joint_qd[..., qds][..., None]
-                + ax1 * joint_qd[..., qds + 1][..., None]
-                + ax2 * joint_qd[..., qds + 2][..., None]
-            )
-            q_w = quat_mul(q_wj, jnp.broadcast_to(q_off, batch + (4,)))
-            w_rel = quat_rotate(q_w, w_local)
+            body_q[i] = transform_mul(X_pj, xq)
+            body_w[i] = joint_qd[..., qds : qds + 3]
+            body_v[i] = joint_qd[..., qds + 3 : qds + 6]
         else:
-            raise ValueError(f"unknown joint type {jtype}")
+            body_q[i] = transform_mul(X_pj, X_jc_all[..., i, :])
+            body_w[i] = zeros3
+            body_v[i] = zeros3
 
-        if X_jc is None:
-            X_wc = X_wj
-        else:
-            X_wc = transform_mul(X_wj, X_jc)
+    for level in levels[1:]:
+        lvl = np.asarray(level)
+        par = parent[lvl]
+        pq = jnp.stack([body_q[int(p)] for p in par], axis=-2)  # (..., L, 7)
+        pw = jnp.stack([body_w[int(p)] for p in par], axis=-2)
+        pv = jnp.stack([body_v[int(p)] for p in par], axis=-2)
+        com_p_w = transform_point(pq, com_all[par])
 
-        w_c = w_p + w_rel
-        com_c_w = transform_point(X_wc, com_all[i])
+        X_wj = transform_mul(pq, X_p_all[..., lvl, :])
+        X_wc = transform_mul(X_wj, X_jc_all[..., lvl, :])
+        w_rel = quat_rotate(X_wj[..., 3:7], w_rate[..., lvl, :])
+
+        w_c = pw + w_rel
+        com_c_w = transform_point(X_wc, com_all[lvl])
         v_c = (
-            v_p
-            + jnp.cross(w_p, com_c_w - com_p_w)
-            + jnp.cross(w_rel, com_c_w - anchor_w)
+            pv
+            + jnp.cross(pw, com_c_w - com_p_w)
+            + jnp.cross(w_rel, com_c_w - X_wj[..., 0:3])
         )
-        body_q[i], body_w[i], body_v[i] = X_wc, w_c, v_c
+        for k, i in enumerate(lvl):
+            body_q[i] = X_wc[..., k, :]
+            body_w[i] = w_c[..., k, :]
+            body_v[i] = v_c[..., k, :]
 
     body_q = jnp.stack(body_q, axis=-2)
     body_qd = jnp.concatenate(
         [jnp.stack(body_w, axis=-2), jnp.stack(body_v, axis=-2)], axis=-1
     )
     return body_q, body_qd
-
-
-def _compound_rel_quat(q_off: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """q_off ∘ R_xyz(angles) ∘ q_off^-1 — the parent->child rotation that the
-    joint-force kernel's decomposition (integrator.py) inverts exactly.
-    q_off is identity for the URDF ball-joint convention (import_urdf.py),
-    kept general anyway."""
-    q_off_inv = q_off * jnp.asarray([-1.0, -1.0, -1.0, 1.0])
-    return quat_mul(q_off, quat_mul(compound_to_quat(angles), q_off_inv))

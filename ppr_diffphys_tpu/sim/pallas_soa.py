@@ -1,0 +1,514 @@
+"""Pallas TPU rollout megakernel — structure-of-arrays layout.
+
+The TPU-native formulation of the substep: every physical quantity is a
+set of **component planes** with environments on the 128-wide lane
+dimension — ``body_q`` becomes seven (B, E) planes, contacts become
+(C_b, E) planes per body. Consequences:
+
+- every vector op is dense lane-parallel VPU work (the (E, B, 3)
+  array-of-structures layout wastes 125/128 lanes per op);
+- *no gathers or scatters at all*: parent lookups are (B,B) one-hot
+  matmuls on the MXU; contacts are grouped per body at trace time, so a
+  body's transform broadcasts (1,E) x (C_b,1) against its static contact
+  block, and the force reduction is a sublane sum;
+- a whole frame interval (``substeps`` steps) runs inside one kernel with
+  state resident in VMEM — zero HBM traffic between substeps.
+
+Math mirrors integrator.py step-for-step (same clamps, same PD law, same
+polynomial atan2 from ops.kernel_math); tests/test_pallas.py pins the two
+paths together numerically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.kernel_math import atan2 as katan2
+from ..ops.kernel_math import asin as kasin
+from .builder import (
+    ArticulationModel,
+    JOINT_COMPOUND,
+    JOINT_FIXED,
+    JOINT_REVOLUTE,
+)
+from .integrator import SemiImplicitIntegrator, SimParams, SimState
+
+F32 = jnp.float32
+_PREC = jax.lax.Precision.HIGHEST
+
+
+# ---- plane (component-tuple) math -----------------------------------------
+
+def _qmul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    )
+
+
+def _qinv(q):
+    return (-q[0], -q[1], -q[2], q[3])
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _qrot(q, v):
+    u = (q[0], q[1], q[2])
+    w = q[3]
+    uv = _cross(u, v)
+    uuv = _cross(u, uv)
+    return tuple(v[i] + 2.0 * (w * uv[i] + uuv[i]) for i in range(3))
+
+
+def _qrot_inv(q, v):
+    return _qrot(_qinv(q), v)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _scale(v, s):
+    return tuple(v[i] * s for i in range(3))
+
+
+def _add3(a, b):
+    return tuple(a[i] + b[i] for i in range(3))
+
+
+def _sub3(a, b):
+    return tuple(a[i] - b[i] for i in range(3))
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=F32, precision=_PREC)
+
+
+def _qnormalize(q):
+    n2 = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-18))
+    return tuple(q[i] * inv for i in range(4))
+
+
+def build_soa_rollout(
+    integrator: SemiImplicitIntegrator,
+    params: SimParams,
+    dt: float,
+    substeps: int,
+    e_tile: int = 128,
+):
+    """Returns run(state, joint_target (S,E,n_qd), joint_act (S,E,n_qd))
+    -> SimState after S substeps. Residual forces assumed zero (they are
+    zeroed in the model; reference dp_model.py:529/:536)."""
+    model = integrator.model
+    B = model.n_links
+    n_qd = model.n_qd
+    jt = model.joint_type
+    parent = model.joint_parent
+    parent_safe = np.where(parent >= 0, parent, 0)
+
+    # ---- static constants (numpy -> kernel inputs) ---------------------
+    P_gather = np.zeros((B, B), np.float32)
+    P_gather[np.arange(B), parent_safe] = 1.0  # row b selects parent(b)
+    P_scatter = np.zeros((B, B), np.float32)
+    for i in range(B):
+        if parent[i] >= 0:
+            P_scatter[parent[i], i] = 1.0
+
+    has_parent = (parent >= 0).astype(np.float32)[:, None]  # (B,1)
+    m_fix = (jt == JOINT_FIXED).astype(np.float32)[:, None]
+    m_rev = (jt == JOINT_REVOLUTE).astype(np.float32)[:, None]
+    m_cmp = (jt == JOINT_COMPOUND).astype(np.float32)[:, None]
+    has_fix = bool((jt == JOINT_FIXED).any())
+    has_rev = bool((jt == JOINT_REVOLUTE).any())
+    has_cmp = bool((jt == JOINT_COMPOUND).any())
+
+    axis_c = model.joint_axis.T[:, :, None]  # (3,B,1)
+    xp_t = model.joint_X_p[:, 0:3].T[:, :, None]  # (3,B,1)
+    xp_q = model.joint_X_p[:, 3:7].T[:, :, None]  # (4,B,1)
+    xc_q = model.joint_X_c[:, 3:7].T[:, :, None]  # (4,B,1)
+    com = model.body_com.T[:, :, None]  # (3,B,1)
+    com_parent = model.body_com[parent_safe].T[:, :, None]  # (3,B,1)
+    rp_local = xp_t - com_parent  # r_p = R_wp @ (xp_t - com_p), see below
+
+    dof_idx = np.clip(
+        model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, n_qd - 1
+    )  # (B,3)
+    D = np.zeros((3, B, n_qd), np.float32)
+    for k in range(3):
+        D[k, np.arange(B), dof_idx[:, k]] = 1.0  # (B,n_qd) selector per dof k
+
+    lim = np.stack(
+        [
+            model.joint_limit_lower[dof_idx],
+            model.joint_limit_upper[dof_idx],
+            model.joint_limit_ke[dof_idx],
+            model.joint_limit_kd[dof_idx],
+        ],
+        0,
+    ).transpose(0, 2, 1)[..., None]  # (4,3,B,1)
+
+    # per-body contact blocks (contacts are emitted body-sorted by
+    # make_ground_contacts; verify and compute slices)
+    cb = model.contact_body
+    assert (np.diff(cb) >= 0).all(), "contacts must be body-sorted"
+    c_slices = []
+    for b in range(B):
+        lo = int(np.searchsorted(cb, b, side="left"))
+        hi = int(np.searchsorted(cb, b, side="right"))
+        c_slices.append((lo, hi))
+    cpt = model.contact_point.T[:, :, None]  # (3,C,1)
+    cdist = model.contact_dist[:, None]  # (C,1)
+    cmat = model.contact_material.T[:, :, None]  # (4,C,1) ke kd kf mu
+
+    gx, gy, gz = [float(g) for g in model.gravity]
+    attach_ke = float(model.joint_attach_ke)
+    attach_kd = float(model.joint_attach_kd)
+    ang_damp = 0.01
+
+    # ---- traced per-call constants (computed outside, passed in) -------
+    ke3 = jnp.stack([params.joint_target_ke[dof_idx[:, k]] for k in range(3)])
+    kd3 = jnp.stack([params.joint_target_kd[dof_idx[:, k]] for k in range(3)])
+    gains = jnp.stack([ke3, kd3])[..., None]  # (2,3,B,1)
+    inv_m = params.body_inv_mass[:, None]  # (B,1)
+    inertia = params.body_inertia.transpose(1, 2, 0)[..., None]  # (3,3,B,1)
+    inv_inertia = params.body_inv_inertia.transpose(1, 2, 0)[..., None]
+
+    const_arrays = dict(
+        P_gather=jnp.asarray(P_gather),
+        P_scatter=jnp.asarray(P_scatter),
+        has_parent=jnp.asarray(has_parent),
+        m_fix=jnp.asarray(m_fix),
+        m_rev=jnp.asarray(m_rev),
+        m_cmp=jnp.asarray(m_cmp),
+        axis_c=jnp.asarray(axis_c, F32),
+        xp_t=jnp.asarray(xp_t),
+        xp_q=jnp.asarray(xp_q),
+        xc_q=jnp.asarray(xc_q),
+        com=jnp.asarray(com),
+        rp_local=jnp.asarray(rp_local),
+        D=jnp.asarray(D),
+        lim=jnp.asarray(lim, F32),
+        cpt=jnp.asarray(cpt),
+        cdist=jnp.asarray(cdist),
+        cmat=jnp.asarray(cmat),
+        gains=gains,
+        inv_m=inv_m,
+        inertia=inertia,
+        inv_inertia=inv_inertia,
+    )
+    const_names = list(const_arrays.keys())
+
+    # ---- the substep on planes ----------------------------------------
+    def substep(bq, bqd, tgt, act, C):
+        """bq (7,B,E), bqd (6,B,E), tgt/act (n_qd,E), C = dict of consts."""
+        t_c = (bq[0], bq[1], bq[2])
+        q_c = (bq[3], bq[4], bq[5], bq[6])
+        w_c = (bqd[0], bqd[1], bqd[2])
+        v_c = (bqd[3], bqd[4], bqd[5])
+        E = bq.shape[-1]
+
+        body_f_t = [jnp.zeros((B, E), F32)] * 3  # torque accumulator
+        body_f_f = [jnp.zeros((B, E), F32)] * 3  # force accumulator
+
+        # ===== contacts: per-body static blocks, chunked for VMEM =======
+        CHUNK = 512
+        rows_t = {0: [], 1: [], 2: []}
+        rows_f = {0: [], 1: [], 2: []}
+        for b in range(B):
+            lo, hi = c_slices[b]
+            acc_t = [jnp.zeros((1, E), F32) for _ in range(3)]
+            acc_f = [jnp.zeros((1, E), F32) for _ in range(3)]
+            qb = tuple(q_c[k][b : b + 1] for k in range(4))  # (1,E)
+            tb = tuple(t_c[k][b : b + 1] for k in range(3))
+            wb = tuple(w_c[k][b : b + 1] for k in range(3))
+            vb = tuple(v_c[k][b : b + 1] for k in range(3))
+            com_b = tuple(C["com"][k, b : b + 1] for k in range(3))
+            com_w = _add3(tb, _qrot(qb, com_b))  # (1,E)
+            for c0 in range(lo, hi, CHUNK):
+                c1 = min(c0 + CHUNK, hi)
+                pt = tuple(C["cpt"][k, c0:c1] for k in range(3))  # (cb,1)
+                dist = C["cdist"][c0:c1]
+                ke, kd, kf, mu = (C["cmat"][k, c0:c1] for k in range(4))
+
+                cp = _add3(_qrot(qb, pt), tb)  # (cb,E)
+                cp = (cp[0], cp[1] - dist, cp[2])  # thickness, n=(0,1,0)
+                r = _sub3(cp, com_w)
+                dpdt = _add3(vb, _cross(wb, r))
+
+                c = cp[1]
+                active = (c < 0.0).astype(F32)
+                vn = dpdt[1]
+                vt = (dpdt[0], dpdt[1] - vn, dpdt[2])
+                fn = c * ke
+                fd = jnp.minimum(vn, 0.0) * kd
+                vt_len = jnp.sqrt(_dot3(vt, vt) + 1e-12)
+                ft_mag = jnp.minimum(kf * vt_len, -mu * (fn + fd))
+                ft = _scale(vt, ft_mag / vt_len)
+                f_tot = (ft[0], (fn + fd) + ft[1], ft[2])
+                f_tot = tuple(
+                    jnp.clip(f_tot[k] * active, -500.0, 500.0) for k in range(3)
+                )
+                t_tot = _cross(r, f_tot)
+                for k in range(3):
+                    # atomic_sub sign + reduce over the body's contacts
+                    acc_t[k] = acc_t[k] - jnp.sum(t_tot[k], 0, keepdims=True)
+                    acc_f[k] = acc_f[k] - jnp.sum(f_tot[k], 0, keepdims=True)
+            for k in range(3):
+                rows_t[k].append(acc_t[k])
+                rows_f[k].append(acc_f[k])
+        for k in range(3):
+            body_f_t[k] = body_f_t[k] + jnp.concatenate(rows_t[k], 0)
+            body_f_f[k] = body_f_f[k] + jnp.concatenate(rows_f[k], 0)
+
+        # ===== joints (vectorized over B) ===============================
+        pq_t = tuple(_mm(C["P_gather"], t_c[k]) for k in range(3))
+        pq_q = tuple(_mm(C["P_gather"], q_c[k]) for k in range(4))
+        w_p = tuple(_mm(C["P_gather"], w_c[k]) * C["has_parent"] for k in range(3))
+        v_p = tuple(_mm(C["P_gather"], v_c[k]) * C["has_parent"] for k in range(3))
+
+        xpq = tuple(C["xp_q"][k] for k in range(4))
+        xpt = tuple(C["xp_t"][k] for k in range(3))
+        X_wp_q = _qmul(pq_q, xpq)
+        X_wp_t = _add3(pq_t, _qrot(pq_q, xpt))
+        hp = C["has_parent"]
+        X_wp_q = tuple(hp * X_wp_q[k] + (1 - hp) * xpq[k] for k in range(4))
+        X_wp_t = tuple(hp * X_wp_t[k] + (1 - hp) * xpt[k] for k in range(3))
+
+        rp_l = tuple(C["rp_local"][k] for k in range(3))
+        r_p = _scale(_qrot(pq_q, rp_l), hp)
+        comc = tuple(C["com"][k] for k in range(3))
+        r_c = _scale(_qrot(q_c, comc), -1.0)
+
+        x_err = _sub3(t_c, X_wp_t)
+        r_err = _qmul(_qinv(X_wp_q), q_c)
+        v_err = _sub3(v_c, v_p)
+        w_err = _sub3(w_c, w_p)
+
+        t_tot = [jnp.zeros((B, E), F32)] * 3
+        f_tot = [jnp.zeros((B, E), F32)] * 3
+
+        tgt3 = [_mm(C["D"][k], tgt) for k in range(3)]  # (B,E)
+        act3 = [_mm(C["D"][k], act) for k in range(3)]
+
+        def joint_force(k, q_ang, qd_ang):
+            lo, hi_, lke, lkd = (C["lim"][j, k] for j in range(4))
+            ke_, kd_ = C["gains"][0, k], C["gains"][1, k]
+            below = q_ang < lo
+            above = q_ang > hi_
+            limit_f = jnp.where(
+                below, lke * (lo - q_ang) - lkd * jnp.minimum(qd_ang, 0.0), 0.0
+            )
+            limit_f = jnp.where(
+                above, lke * (hi_ - q_ang) - lkd * jnp.maximum(qd_ang, 0.0), limit_f
+            )
+            return ke_ * (q_ang - tgt3[k]) + kd_ * qd_ang + act3[k] - limit_f
+
+        if has_fix:
+            # axis-angle of r_err (Taylor-safe quat_to_axis_angle)
+            sq = _dot3(r_err[:3], r_err[:3])
+            is_zero = sq < 1e-12
+            norms = jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+            half = katan2(norms, r_err[3])
+            ang = 2.0 * half
+            small = jnp.abs(ang) < 1e-6
+            sho = jnp.where(
+                small, 0.5 - ang * ang / 48.0,
+                jnp.sin(half) / jnp.where(small, 1.0, ang),
+            )
+            ang_err = tuple(r_err[k] / sho for k in range(3))
+            ff = tuple(
+                x_err[k] * attach_ke + v_err[k] * attach_kd for k in range(3)
+            )
+            tf = _qrot(X_wp_q, ang_err)
+            tf = tuple(
+                tf[k] * attach_ke + w_err[k] * attach_kd * ang_damp
+                for k in range(3)
+            )
+            for k in range(3):
+                f_tot[k] = f_tot[k] + C["m_fix"] * ff[k]
+                t_tot[k] = t_tot[k] + C["m_fix"] * tf[k]
+
+        if has_rev:
+            axis = tuple(C["axis_c"][k] for k in range(3))
+            axis_p = _qrot(X_wp_q, axis)
+            axis_cw = _qrot(q_c, axis)
+            s_tw = _dot3(r_err[:3], axis)
+            q_ang = 2.0 * katan2(s_tw, r_err[3])
+            qd_ang = _dot3(w_err, axis_p)
+            fmag = joint_force(0, q_ang, qd_ang)
+            tr = _scale(axis_p, fmag)
+            swing = _cross(axis_p, axis_cw)
+            fr = tuple(x_err[k] * attach_ke + v_err[k] * attach_kd for k in range(3))
+            tr = tuple(
+                tr[k]
+                + swing[k] * attach_ke
+                + (w_err[k] - qd_ang * axis_p[k]) * attach_kd * ang_damp
+                for k in range(3)
+            )
+            for k in range(3):
+                f_tot[k] = f_tot[k] + C["m_rev"] * fr[k]
+                t_tot[k] = t_tot[k] + C["m_rev"] * tr[k]
+
+        if has_cmp:
+            qoff = tuple(C["xc_q"][k] for k in range(4))
+            q_pc = _qmul(_qmul(_qinv(qoff), r_err), qoff)
+            x, y, z, w = q_pc
+            # matrix entries of q_pc needed for intrinsic-XYZ decompose
+            m12 = 2 * (y * z - w * x)
+            m22 = 1 - 2 * (x * x + y * y)
+            m02 = 2 * (x * z + w * y)
+            m01 = 2 * (x * y - w * z)
+            m00 = 1 - 2 * (y * y + z * z)
+            a0 = katan2(-m12, m22)
+            a1 = kasin(jnp.clip(m02, -1 + 1e-7, 1 - 1e-7))
+            a2 = katan2(-m01, m00)
+            angles = (a0, a1, a2)
+
+            ex = (jnp.ones_like(a0), jnp.zeros_like(a0), jnp.zeros_like(a0))
+            sa, ca = jnp.sin(0.5 * a0), jnp.cos(0.5 * a0)
+            q0 = (sa, jnp.zeros_like(sa), jnp.zeros_like(sa), ca)
+            ax1 = _qrot(q0, (jnp.zeros_like(a0), jnp.ones_like(a0), jnp.zeros_like(a0)))
+            sb, cbn = jnp.sin(0.5 * a1), jnp.cos(0.5 * a1)
+            q1 = tuple(ax1[k] * sb for k in range(3)) + (cbn,)
+            q10 = _qmul(q1, q0)
+            ax2 = _qrot(q10, (jnp.zeros_like(a0), jnp.zeros_like(a0), jnp.ones_like(a0)))
+            q_w = _qmul(X_wp_q, qoff)
+
+            tc = [jnp.zeros((B, E), F32)] * 3
+            for k, ax in enumerate([ex, ax1, ax2]):
+                ax_w = _qrot(q_w, ax)
+                fmag = joint_force(k, angles[k], _dot3(ax_w, w_err))
+                for j in range(3):
+                    tc[j] = tc[j] + fmag * ax_w[j]
+            tc = [jnp.clip(t, -10000.0, 10000.0) for t in tc]
+            fc = [
+                jnp.clip(x_err[k] * attach_ke + v_err[k] * attach_kd, -10000.0, 10000.0)
+                for k in range(3)
+            ]
+            for k in range(3):
+                f_tot[k] = f_tot[k] + C["m_cmp"] * fc[k]
+                t_tot[k] = t_tot[k] + C["m_cmp"] * tc[k]
+
+        # scatter: child -= (t + r_c x f, f); parent += (t + r_p x f, f)
+        trc = _cross(r_c, f_tot)
+        trp = _cross(r_p, f_tot)
+        for k in range(3):
+            child_t = t_tot[k] + trc[k]
+            parent_t = (t_tot[k] + trp[k]) * hp
+            body_f_t[k] = body_f_t[k] - child_t + _mm(C["P_scatter"], parent_t)
+            body_f_f[k] = body_f_f[k] - f_tot[k] + _mm(
+                C["P_scatter"], f_tot[k] * hp
+            )
+
+        # ===== integrate (symplectic Euler, reference :21-91) ===========
+        x_com = _add3(t_c, _qrot(q_c, comc))
+        g = (gx, gy, gz)
+        v1 = tuple(
+            v_c[k] + (body_f_f[k] * C["inv_m"] + g[k]) * dt for k in range(3)
+        )
+        x1 = tuple(x_com[k] + v1[k] * dt for k in range(3))
+
+        wb_ = _qrot_inv(q_c, w_c)
+        tb_ = _qrot_inv(q_c, tuple(body_f_t))
+        Iw = tuple(
+            C["inertia"][i, 0] * wb_[0]
+            + C["inertia"][i, 1] * wb_[1]
+            + C["inertia"][i, 2] * wb_[2]
+            for i in range(3)
+        )
+        tb_ = _sub3(tb_, _cross(wb_, Iw))
+        It = tuple(
+            C["inv_inertia"][i, 0] * tb_[0]
+            + C["inv_inertia"][i, 1] * tb_[1]
+            + C["inv_inertia"][i, 2] * tb_[2]
+            for i in range(3)
+        )
+        w1 = _qrot(q_c, tuple(wb_[k] + It[k] * dt for k in range(3)))
+        # dr = 0.5*dt*quat(w1,0)*r0 with pre-damping w1
+        dq = _qmul((w1[0], w1[1], w1[2], jnp.zeros_like(w1[0])), q_c)
+        r1 = _qnormalize(tuple(q_c[k] + 0.5 * dt * dq[k] for k in range(4)))
+        w1 = tuple(jnp.clip(w1[k] * (1.0 - 0.1 * dt), -10.0, 10.0) for k in range(3))
+        v1 = tuple(jnp.clip(v1[k], -10.0, 10.0) for k in range(3))
+        new_t = _sub3(x1, _qrot(r1, comc))
+
+        bq_new = jnp.stack(list(new_t) + list(r1), 0)
+        bqd_new = jnp.stack(list(w1) + list(v1), 0)
+        return bq_new, bqd_new
+
+    # ---- kernel ---------------------------------------------------------
+    def kernel(*refs):
+        bq_ref, bqd_ref, tgt_ref, act_ref = refs[:4]
+        const_refs = refs[4 : 4 + len(const_names)]
+        out_q_ref, out_qd_ref = refs[4 + len(const_names) :]
+        C = {n: r[:] for n, r in zip(const_names, const_refs)}
+
+        def body(i, carry):
+            bq, bqd = carry
+            return substep(bq, bqd, tgt_ref[i], act_ref[i], C)
+
+        bq, bqd = jax.lax.fori_loop(
+            0, substeps, body, (bq_ref[:], bqd_ref[:])
+        )
+        out_q_ref[:] = bq
+        out_qd_ref[:] = bqd
+
+    def _spec(shape, idx_fn=None):
+        if idx_fn is None:
+            nd = len(shape)
+            idx_fn = lambda i, nd=nd: (0,) * nd
+        return pl.BlockSpec(shape, idx_fn, memory_space=pltpu.VMEM)
+
+    def run(state: SimState, joint_targets, joint_acts):
+        """state: (E,B,·) AoS arrays; targets/acts (S,E,n_qd)."""
+        E = state.body_q.shape[0]
+        assert E % e_tile == 0, (E, e_tile)
+        grid = (E // e_tile,)
+
+        bq = state.body_q.transpose(2, 1, 0)  # (7,B,E)
+        bqd = state.body_qd.transpose(2, 1, 0)  # (6,B,E)
+        tgt = joint_targets.transpose(0, 2, 1)  # (S,n_qd,E)
+        act = joint_acts.transpose(0, 2, 1)
+
+        cvals = list(const_arrays.values())
+        in_specs = [
+            _spec((7, B, e_tile), lambda i: (0, 0, i)),
+            _spec((6, B, e_tile), lambda i: (0, 0, i)),
+            _spec((substeps, n_qd, e_tile), lambda i: (0, 0, i)),
+            _spec((substeps, n_qd, e_tile), lambda i: (0, 0, i)),
+        ] + [_spec(c.shape) for c in cvals]
+
+        out_q, out_qd = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                _spec((7, B, e_tile), lambda i: (0, 0, i)),
+                _spec((6, B, e_tile), lambda i: (0, 0, i)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((7, B, E), F32),
+                jax.ShapeDtypeStruct((6, B, E), F32),
+            ),
+        )(bq, bqd, tgt, act, *cvals)
+        return SimState(
+            out_q.transpose(2, 1, 0), out_qd.transpose(2, 1, 0)
+        )
+
+    return run
