@@ -38,12 +38,15 @@ def main():
     urdf = os.environ.get(
         "PPR_URDF", "/root/reference/data/urdf_templates/laikago/laikago.urdf"
     )
-    E = int(os.environ.get("PPR_BENCH_ENVS", 1024))
-    STEPS = int(os.environ.get("PPR_BENCH_STEPS", 1000))
+    E = int(os.environ.get("PPR_BENCH_ENVS", 4096))
+    STEPS = int(os.environ.get("PPR_BENCH_STEPS", 990))
     # 'hull' is numerically exact for ground-plane contacts (trajectories
     # match the all-vertex mode bit-for-bit in the operating regime) at
     # 2.6x fewer candidate points; see builder.make_ground_contacts
     CONTACT_MODE = os.environ.get("PPR_BENCH_CONTACTS", "hull")
+    # 'soa' = the VMEM-resident pallas megakernel (sim/pallas_soa.py);
+    # 'xla' = the lax.scan path shared with training
+    ENGINE = os.environ.get("PPR_BENCH_ENGINE", "soa")
 
     b = ModelBuilder()
     parse_urdf(
@@ -78,26 +81,46 @@ def main():
     act = jnp.zeros((E, model.n_qd))
     res = jnp.zeros((E, model.n_links, 6))
 
-    def run(state, n):
-        def step(s, _):
-            return integ.step_only(params, s, target, act, res, 5e-4), None
+    if ENGINE == "soa":
+        from ppr_diffphys_tpu.sim.pallas_soa import build_soa_rollout
 
-        out, _ = jax.lax.scan(step, state, None, length=n, unroll=4)
-        return out
+        INTERVAL = 33  # substeps per kernel invocation (one mocap frame)
+        n_intervals = STEPS // INTERVAL
+        tgt_s = jnp.tile(target[None], (INTERVAL, 1, 1))
+        act_s = jnp.zeros((INTERVAL, E, model.n_qd))
+        kern = build_soa_rollout(integ, params, 5e-4, INTERVAL, e_tile=128)
 
-    run_jit = jax.jit(run, static_argnums=1)
+        def run_soa(state, n_iv):
+            for _ in range(n_iv):
+                state = kern(state, tgt_s, act_s)
+            return state
+
+        run_jit = jax.jit(run_soa, static_argnums=1)
+        steps_eff = n_intervals * INTERVAL
+    else:
+        def run(state, n):
+            def step(s, _):
+                return integ.step_only(params, s, target, act, res, 5e-4), None
+
+            out, _ = jax.lax.scan(step, state, None, length=n, unroll=4)
+            return out
+
+        run_jit = jax.jit(run, static_argnums=1)
+        steps_eff = STEPS
+        n_intervals = STEPS
 
     # warmup + compile
-    state1 = run_jit(state, STEPS)
+    state1 = run_jit(state, n_intervals)
     jax.block_until_ready(state1)
 
     t0 = time.perf_counter()
     reps = 3
     s = state
     for _ in range(reps):
-        s = run_jit(s, STEPS)
+        s = run_jit(s, n_intervals)
     jax.block_until_ready(s)
     dt = (time.perf_counter() - t0) / reps
+    STEPS = steps_eff
 
     env_steps_per_sec = E * STEPS / dt
     print(
@@ -112,6 +135,8 @@ def main():
                     "steps": STEPS,
                     "wall_sec": round(dt, 4),
                     "contacts": int(model.contact_count),
+                    "contact_mode": CONTACT_MODE,
+                    "engine": ENGINE,
                     "device": str(jax.devices()[0]),
                 },
             }

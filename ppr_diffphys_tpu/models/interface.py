@@ -347,13 +347,18 @@ class phys_interface(phys_model):
 
     def get_foot_height_frame(self, frame_ids):
         frame_ids = jnp.asarray(frame_ids, jnp.float32)[None]
-        batch = self.query_kinematics_groundtruth(self.params, frame_ids)
-        target_position, _ = self.fk_pos_vel(
-            batch["target_q"], batch["target_ja"],
-            batch["target_qd"], batch["target_jad"],
-            joint_X_p=batch["joint_X_p"][:, None],
-        )
-        return np.asarray(self.get_foot_height(target_position)[0])
+        if not hasattr(self, "_jit_foot_height"):
+            def fn(params, fr):
+                batch = self.query_kinematics_groundtruth(params, fr)
+                target_position, _ = self.fk_pos_vel(
+                    batch["target_q"], batch["target_ja"],
+                    batch["target_qd"], batch["target_jad"],
+                    joint_X_p=batch["joint_X_p"][:, None],
+                )
+                return self.get_foot_height(target_position)[0]
+
+            self._jit_foot_height = jax.jit(fn)
+        return np.asarray(self._jit_foot_height(self.params, frame_ids))
 
     def correct_scale(self, frame_ids, increment=0.01):
         """Bisection-free scale walk until feet cross the ground

@@ -112,6 +112,7 @@ def build_soa_rollout(
     dt: float,
     substeps: int,
     e_tile: int = 128,
+    interpret: bool = False,
 ):
     """Returns run(state, joint_target (S,E,n_qd), joint_act (S,E,n_qd))
     -> SimState after S substeps. Residual forces assumed zero (they are
@@ -228,7 +229,7 @@ def build_soa_rollout(
         body_f_f = [jnp.zeros((B, E), F32)] * 3  # force accumulator
 
         # ===== contacts: per-body static blocks, chunked for VMEM =======
-        CHUNK = 512
+        CHUNK = 384
         rows_t = {0: [], 1: [], 2: []}
         rows_f = {0: [], 1: [], 2: []}
         for b in range(B):
@@ -506,6 +507,7 @@ def build_soa_rollout(
                 jax.ShapeDtypeStruct((7, B, E), F32),
                 jax.ShapeDtypeStruct((6, B, E), F32),
             ),
+            interpret=interpret,
         )(bq, bqd, tgt, act, *cvals)
         return SimState(
             out_q.transpose(2, 1, 0), out_qd.transpose(2, 1, 0)
