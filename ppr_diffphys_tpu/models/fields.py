@@ -82,6 +82,17 @@ class CameraField:
         mat = mat.at[..., 3, 3].set(1.0)
         return mat
 
+    def fit_to_priors(self, params, rtmat, **kw):
+        """Fit the camera MLP to (N,4,4) per-frame SE(3) priors (reference
+        CameraMLPWrapper.mlp_init, torch_utils.py:258-268)."""
+        from .mlp import fit_camera_mlp
+
+        params = dict(params)
+        params["camera_mlp"] = fit_camera_mlp(
+            self.camera_mlp, params["camera_mlp"], self.sampler, rtmat, **kw
+        )
+        return params
+
 
 class ArticulationField:
     """Joint-angle-over-time field + urdf-to-object alignment (the slice

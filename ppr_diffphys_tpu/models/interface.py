@@ -378,9 +378,45 @@ class phys_interface(phys_model):
             if foot_height.min() * direction < 0:
                 break
 
-    def get_camera(self):
-        """world-to-view with intrinsics row (reference dp_model.py:904-910)."""
-        return self._eval_world2view
+    def _extend_aux(self, aux, params, batch, steps_fr, sim_position):
+        """Eval observables: vis cameras (reference dp_interface.py:233-235)
+        and the distilled trajectory for the 'distilled' video stream."""
+        f2s = self.frame2step
+        aux["target_q_vis"] = batch["target_q"][0, f2s]
+        aux["world2view_vis"] = batch["world2view"][0, f2s]
+        aux["ks_vis"] = batch["ks"][0, f2s]
+        if float(self.opts.get("pos_distill_wt", 0.0)) > 0.0:
+            from ..sim.kinematics import eval_fk
+
+            sub_fr = steps_fr[:1, f2s]
+            flat = sub_fr.reshape(-1)
+            droot = self._proxy_root(params, "kinematics_distilled", flat)
+            dja = self._proxy_ja(params, "kinematics_distilled", flat)
+            joint_q = jnp.concatenate([droot, dja], -1)
+            body_q, _ = eval_fk(self.env, joint_q)
+            aux["distilled_traj"] = body_q
+        return aux
 
     def _store_eval_aux(self, aux):
         super()._store_eval_aux(aux)
+        self.target_q_vis = np.asarray(aux["target_q_vis"])
+        self.world2view_vis = np.asarray(aux["world2view_vis"])
+        self.ks_vis = np.asarray(aux["ks_vis"])
+        if "distilled_traj" in aux:
+            self.distilled_trajs = np.asarray(aux["distilled_traj"])
+
+    def get_camera(self):
+        """world-to-view matrices with the intrinsics packed into row 3
+        (reference dp_model.py:904-910)."""
+        w2v = self.world2view_vis.copy()
+        w2v[..., 3, :] = self.ks_vis
+        return w2v
+
+    def query(self, img_size=None):
+        data = super().query()
+        if hasattr(self, "distilled_trajs"):
+            data["distilled_traj"] = self.distilled_trajs
+        if img_size is not None:
+            data["camera"] = self.get_camera()
+            data["img_size"] = img_size
+        return data

@@ -210,6 +210,69 @@ class CameraMLPFlax(nn.Module):
         return quat, trans
 
 
+def fit_camera_mlp(
+    module: CameraMLPFlax,
+    params,
+    sampler: "FrameSampler",
+    rtmat,
+    lr: float = 1e-3,
+    termination_loss: float = 1e-4,
+    max_iters: int = 5000,
+):
+    """Fit a CameraMLP to per-frame SE(3) priors (reference
+    TimeMLP.mlp_init, lab4d_utils.py:469-489 + CameraMLPWrapper.base_init,
+    torch_utils.py:250-256): initialize base_quat from the first frame of
+    each video, then Adam until the MSE to the priors falls below the
+    termination loss.
+
+    rtmat: (N, 4, 4) SE(3) priors over all raw frames.
+    Returns the fitted parameter pytree.
+    """
+    import optax
+
+    rtmat = jnp.asarray(rtmat, jnp.float32)
+    n = rtmat.shape[0]
+    frame_ids = jnp.arange(n, dtype=jnp.float32)
+    t = sampler.frame_to_tid(frame_ids)
+    vid = sampler.frame_to_vid(frame_ids)
+
+    # base_init: per-video base rotations from the first frame
+    from ..ops import matrix_to_quat
+
+    starts = np.asarray(sampler.offsets[:-1])
+    base_q_xyzw = matrix_to_quat(rtmat[starts, :3, :3])
+    base_quat = jnp.concatenate(
+        [base_q_xyzw[..., 3:4], base_q_xyzw[..., 0:3]], -1
+    )  # wxyz
+    params = dict(params)
+    params["base_quat"] = base_quat
+
+    from ..ops import quat_to_matrix, quat_normalize
+
+    def loss_fn(p):
+        quat, trans = module.apply({"params": p}, t, vid)
+        q_xyzw = jnp.concatenate([quat[..., 1:], quat[..., :1]], -1)
+        rot = quat_to_matrix(quat_normalize(q_xyzw))
+        pred = jnp.zeros((n, 4, 4)).at[:, :3, :3].set(rot)
+        pred = pred.at[:, :3, 3].set(trans).at[:, 3, 3].set(1.0)
+        return jnp.mean((pred - rtmat) ** 2)
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(g, s)
+        return optax.apply_updates(p, updates), s, l
+
+    for i in range(max_iters):
+        params, opt_state, loss = step(params, opt_state)
+        if i % 100 == 0 and float(loss) < termination_loss:
+            break
+    return params
+
+
 def _quat_mul_wxyz(a, b):
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]

@@ -492,7 +492,13 @@ class phys_model:
             grf=grfs[:, 0],
             jaf=jafs[:, 0],
         )
+        aux = self._extend_aux(aux, params, batch, steps_fr, sim_position)
         return out, aux
+
+    def _extend_aux(self, aux, params, batch, steps_fr, sim_position):
+        """Hook for subclasses to add eval observables (cameras,
+        distilled trajectories, ...)."""
+        return aux
 
     def _distill_loss(self, params, steps_fr, sim_position, outseq):
         """pos_distill hook — overridden by the lab4d interface

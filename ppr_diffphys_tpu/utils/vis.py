@@ -169,13 +169,26 @@ class PhysVisualizer:
 
         from .render import SoftwareRenderer
 
-        img_size = (256, 256)
+        if "img_size" in data:
+            isz = data["img_size"]
+            img_size = (int(isz[0] * isz[2]), int(isz[1] * isz[2]))
+            scale = isz[2]
+        else:
+            img_size = (256, 256)
+            scale = 1.0
         renderer = SoftwareRenderer(*img_size)
+        cameras = data.get("camera")  # (F, 4, 4) rt rows 0-2, intrinsics row 3
         streams = {"target": [], "sim": [], "control_ref": []}
         if "distilled_traj" in data:
             streams["distilled"] = []
 
         for frame in range(n_frm):
+            if cameras is not None:
+                rtk = np.asarray(cameras[frame])
+                m = np.eye(4, dtype=np.float32)
+                m[:3] = rtk[:3]
+                renderer.set_camera(m)
+                renderer.set_intrinsics(rtk[3] * scale)
             target_mesh, tc = articulate_robot_rbrt(model, data["target_traj"][frame])
             sim_mesh, sc = articulate_robot_rbrt(
                 model, data["sim_traj"][frame],
@@ -185,20 +198,21 @@ class PhysVisualizer:
             )
             ref_mesh, rc = articulate_robot_rbrt(model, data["control_ref"][frame])
 
+            keep = cameras is not None
             tdim = np.full_like(tc, 64)
             streams["target"].append(
-                self._render(renderer, [(target_mesh, tc)])
+                self._render(renderer, [(target_mesh, tc)], keep)
             )
             streams["sim"].append(
-                self._render(renderer, [(sim_mesh, sc), (target_mesh, tdim)])
+                self._render(renderer, [(sim_mesh, sc), (target_mesh, tdim)], keep)
             )
             streams["control_ref"].append(
-                self._render(renderer, [(ref_mesh, rc), (target_mesh, tdim)])
+                self._render(renderer, [(ref_mesh, rc), (target_mesh, tdim)], keep)
             )
             if "distilled_traj" in data:
                 dmesh, dc = articulate_robot_rbrt(model, data["distilled_traj"][frame])
                 streams["distilled"].append(
-                    self._render(renderer, [(dmesh, dc), (target_mesh, tdim)])
+                    self._render(renderer, [(dmesh, dc), (target_mesh, tdim)], keep)
                 )
 
         all_imgs = [
@@ -214,12 +228,14 @@ class PhysVisualizer:
                 suffix=".mp4", fps=fps,
             )
 
-    def _render(self, renderer, mesh_color_pairs):
+    def _render(self, renderer, mesh_color_pairs, keep_camera=False):
         meshes = [m for m, _ in mesh_color_pairs] + [self.floor]
         colors = [c for _, c in mesh_color_pairs] + [self.floor_colors]
         mesh = concatenate_meshes(meshes)
         cols = np.concatenate(colors, 0)
-        return renderer.render_default_view(mesh.vertices, mesh.faces, cols)
+        if not keep_camera:
+            renderer.set_camera_default()
+        return renderer.render(mesh.vertices, mesh.faces, cols)
 
     def visualize_trajectory(self, model, trajs, tag, max_w=2.0):
         """OBJ strip of ~10 poses (reference vis.py:184-200)."""

@@ -149,3 +149,24 @@ def test_amp_interp_extrapolates(model):
     ours = np.asarray(model._interp_amp(jnp.array(pts)))[0]
     ref = f(pts[0])
     np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-4)
+
+
+def test_camera_mlp_prior_fitting():
+    """fit_camera_mlp drives the SE(3) MSE to the priors below threshold
+    (reference CameraMLPWrapper.mlp_init, torch_utils.py:258-268)."""
+    from scipy.spatial.transform import Rotation as R
+    from ppr_diffphys_tpu.models.fields import CameraField
+
+    n = 24
+    ang = np.linspace(0, 0.8, n)
+    rtmat = np.tile(np.eye(4)[None], (n, 1, 1))
+    rtmat[:, :3, :3] = R.from_euler("y", ang[:, None]).as_matrix()
+    rtmat[:, 0, 3] = np.linspace(0, 0.5, n)
+
+    field = CameraField([0, n], jax.random.PRNGKey(0))
+    fitted = field.fit_to_priors(
+        field.init_params, rtmat, termination_loss=5e-4, max_iters=3000
+    )
+    cams = np.asarray(field.get_camera(fitted, jnp.arange(n, dtype=jnp.float32)))
+    err = np.abs(cams - rtmat).max()
+    assert err < 0.15, err
