@@ -44,6 +44,8 @@ flags.DEFINE_integer("num_envs", 10, "training envs per step")
 flags.DEFINE_integer("frames_per_wdw", 24, "frames per training window")
 flags.DEFINE_boolean("render_vis", True, "render per-round videos")
 flags.DEFINE_integer("seed", 0, "rng seed")
+flags.DEFINE_string("profile_dir", "", "capture a jax profiler trace of "
+                    "training iters 2-4 into this directory")
 
 
 def main(_):
@@ -80,6 +82,14 @@ def main(_):
                 opts["num_envs"], frames_per_wdw=opts["frames_per_wdw"],
                 is_eval=False,
             )
+
+        if opts["profile_dir"]:
+            import jax
+
+            if it == 2:
+                jax.profiler.start_trace(opts["profile_dir"])
+            elif it == 5:
+                jax.profiler.stop_trace()
 
         t = time.time()
         loss = 0.0

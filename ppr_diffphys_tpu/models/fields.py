@@ -60,7 +60,13 @@ class CameraField:
         return np.asarray(self.offsets)
 
     def get_camera(self, params, frame_id):
-        """(N,) raw frame ids -> (N,4,4) field-to-view transforms."""
+        """(N,) raw frame ids -> (N,4,4) field-to-view transforms.
+
+        Camera translations scale with exp(logscale), mirroring lab4d's
+        view-to-field scale semantics — this is what makes the physics
+        interface's correct_scale walk (scene logscale until feet cross
+        the ground) actually move the feet.
+        """
         t = self.sampler.frame_to_tid(frame_id)
         vid = self.sampler.frame_to_vid(frame_id)
         quat, trans = self.camera_mlp.apply(
@@ -70,7 +76,7 @@ class CameraField:
         q = jnp.concatenate([quat[..., 1:], quat[..., :1]], -1)
         mat = jnp.zeros(frame_id.shape + (4, 4))
         mat = mat.at[..., :3, :3].set(quat_to_matrix(quat_normalize(q)))
-        mat = mat.at[..., :3, 3].set(trans)
+        mat = mat.at[..., :3, 3].set(trans * jnp.exp(params["logscale"]))
         mat = mat.at[..., 3, 3].set(1.0)
         return mat
 

@@ -360,13 +360,16 @@ class phys_interface(phys_model):
             self._jit_foot_height = jax.jit(fn)
         return np.asarray(self._jit_foot_height(self.params, frame_ids))
 
-    def correct_scale(self, frame_ids, increment=0.01):
-        """Bisection-free scale walk until feet cross the ground
-        (reference :279-303)."""
+    def correct_scale(self, frame_ids, increment=0.01, max_steps=2000):
+        """Scale walk until feet cross the ground (reference :279-303).
+
+        max_steps caps the walk (the reference loops unboundedly; a field
+        whose foot height were insensitive to the scene scale would hang).
+        """
         self.reinit_envs(1, frames_per_wdw=int(self.frame_offset_raw[-1]), is_eval=True)
         foot_height = self.get_foot_height_frame(frame_ids)
         direction = 1 if foot_height.min() > 0 else -1
-        while True:
+        for _ in range(max_steps):
             for tree in (
                 self.params["scene_field"],
                 self.params["kinematics_proxy"]["scene_field"],
@@ -377,6 +380,11 @@ class phys_interface(phys_model):
             print("foot height:", foot_height.min())
             if foot_height.min() * direction < 0:
                 break
+        else:
+            print(
+                "correct_scale: foot height did not cross zero within %d steps"
+                % max_steps
+            )
 
     def _extend_aux(self, aux, params, batch, steps_fr, sim_position):
         """Eval observables: vis cameras (reference dp_interface.py:233-235)
