@@ -294,6 +294,17 @@ class URDF:
                     out.append((m, poses[link.name] @ col.origin))
         return out
 
+    def visual_mesh_fk(self, cfg=None):
+        """Same for visual geometries (urdfpy visual_trimesh_fk)."""
+        poses = self.link_fk(cfg)
+        out = []
+        for link in self.links:
+            for vis in link.visuals:
+                m = geom_to_mesh(vis.geometry)
+                if m is not None:
+                    out.append((m, poses[link.name] @ vis.origin))
+        return out
+
 
 def geom_to_mesh(geo: Geometry) -> Optional[TriMesh]:
     from .mesh import box_mesh, sphere_mesh, capsule_mesh

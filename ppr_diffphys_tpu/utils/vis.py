@@ -100,6 +100,38 @@ def _arrow_mesh(mag, origin, direction):
     return TriMesh(v @ R.T + origin[None], shaft.faces)
 
 
+def articulate_robot(urdf, cfg=None, use_collision=False):
+    """FK-posed whole-robot mesh from joint angles (reference
+    urdf_utils.py:293-317). cfg: dict joint-name -> angle, or a flat angle
+    array in non-fixed-joint document order."""
+    if cfg is not None and not isinstance(cfg, dict):
+        names = [j.name for j in urdf.joints if j.joint_type != "fixed"]
+        cfg = {n: float(a) for n, a in zip(names, np.asarray(cfg).ravel())}
+    fk = urdf.collision_mesh_fk(cfg) if use_collision else urdf.visual_mesh_fk(cfg)
+    meshes = [m.transformed(p[:3, :3], p[:3, 3]) for m, p in fk]
+    return concatenate_meshes(meshes)
+
+
+def render_robot(urdf, save_path, cfg=None, use_collision=False, size=256):
+    """Offscreen render of the robot in a given configuration
+    (reference urdf_utils.py:320-366), via the software rasterizer."""
+    import cv2
+    from .render import SoftwareRenderer
+
+    mesh = articulate_robot(urdf, cfg=cfg, use_collision=use_collision)
+    colors = np.full((len(mesh.vertices), 3), 192, np.uint8)
+    r = SoftwareRenderer(size, size)
+    center = mesh.vertices.mean(0)
+    extent = max(np.abs(mesh.vertices - center).max(), 1e-3)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [0, 0, 3.0 * extent]
+    m[:3, 3] -= m[:3, :3] @ center
+    r.set_camera(m)
+    img = r.render(mesh.vertices, mesh.faces, colors)
+    cv2.imwrite(save_path, img[..., ::-1])
+    return img, mesh
+
+
 def create_floor_mesh(scale=20.0):
     """Reference lab4d_utils.py:548-565."""
     v = np.array(
