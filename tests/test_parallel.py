@@ -82,6 +82,20 @@ def test_tp_param_shardings():
 
 
 def test_graft_dryrun():
-    import __graft_entry__ as g
+    # run in a subprocess: the dryrun flips global jax config (platforms),
+    # which can abort when mixed with this process's cached executables
+    import os
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "--n", "8"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout

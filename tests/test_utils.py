@@ -1,0 +1,115 @@
+"""Coverage for the utility layers: vis/rendering, projection, IO,
+data-prep scripts, autodiff helpers, bullet coordinate conversion."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAIKAGO = "/root/reference/data/urdf_templates/laikago/laikago.urdf"
+
+
+def test_render_robot_produces_image(tmp_path):
+    from ppr_diffphys_tpu.sim.urdf import URDF
+    from ppr_diffphys_tpu.utils.vis import render_robot
+
+    u = URDF.load(LAIKAGO)
+    cfg = np.zeros(12)
+    cfg[[2, 5, 8, 11]] = -0.8
+    img, mesh = render_robot(
+        u, str(tmp_path / "r.png"), cfg=cfg, use_collision=True
+    )
+    assert img.shape == (256, 256, 3)
+    # something was drawn (not all background)
+    assert (img < 250).any()
+    assert (tmp_path / "r.png").exists()
+
+
+def test_project_bodies_pinhole():
+    from ppr_diffphys_tpu.utils.projection import project_bodies
+
+    # identity camera, fx=fy=100, px=py=50; a point at (0.1, 0.2, 1)
+    rtk = jnp.zeros((1, 4, 4))
+    rtk = rtk.at[0, :3, :3].set(jnp.eye(3))
+    rtk = rtk.at[0, 3].set(jnp.array([100.0, 100.0, 50.0, 50.0]))
+    bodies = jnp.array([[[0.1, 0.2, 1.0, 0, 0, 0, 1.0]]])
+    px = np.asarray(project_bodies(bodies, rtk))
+    np.testing.assert_allclose(px[0, 0], [60.0, 70.0], atol=1e-4)
+
+
+def test_compute_gradient_linear():
+    from ppr_diffphys_tpu.utils.autodiff import compute_gradient
+
+    W = jnp.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])  # (Din=3, Dout=2)
+
+    def fn(x):
+        return x @ W
+
+    x = jnp.ones((4, 3))
+    jac = np.asarray(compute_gradient(fn, x))
+    assert jac.shape == (4, 3, 2)
+    np.testing.assert_allclose(jac[0], np.asarray(W), atol=1e-5)
+
+
+def test_bullet2gl_in_bullet_branch():
+    """The a1/bullet path rotates orientations by the permutation matrix
+    (reference dp_utils.py:141-156)."""
+    from scipy.spatial.transform import Rotation as R
+    from ppr_diffphys_tpu.data.amp_loader import bullet2gl, ISSAC_TO_GL
+
+    rng = np.random.RandomState(0)
+    orn = R.random(5, rng).as_quat()
+    msm = dict(
+        pos=rng.randn(5, 3), orn=orn.copy(),
+        vel=rng.randn(5, 3), avel=rng.randn(5, 3),
+    )
+    pos0 = msm["pos"].copy()
+    bullet2gl(msm, in_bullet=True)
+    np.testing.assert_allclose(msm["pos"], (ISSAC_TO_GL @ pos0.T).T, atol=1e-6)
+    # orientation: R' = P-permuted (R @ P); both steps applied
+    expect = R.from_matrix(R.from_quat(orn).as_matrix() @ ISSAC_TO_GL).as_quat()
+    expect[:, :3] = (ISSAC_TO_GL @ expect[:, :3].T).T
+    dot = np.abs(np.sum(msm["orn"] * expect, -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-6)
+
+
+def test_scripts_roundtrip(tmp_path):
+    # scale_urdf doubles joint origins; process_urdf adds collisions
+    src = open(LAIKAGO).read()
+    p = tmp_path / "robot.urdf.bk"
+    p.write_text(src)
+    subprocess.check_call(
+        [sys.executable, os.path.join(REPO, "scripts", "scale_urdf.py"), str(p), "2.0"]
+    )
+    from ppr_diffphys_tpu.sim.urdf import URDF
+
+    orig = URDF.load(LAIKAGO)
+    scaled = URDF.load(str(tmp_path / "robot.urdf"))
+    j0 = orig.joints[0].origin[:3, 3]
+    j1 = scaled.joints[0].origin[:3, 3]
+    np.testing.assert_allclose(j1, 2.0 * j0, atol=1e-5)
+
+
+def test_read_amp_script(tmp_path):
+    subprocess.check_call(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "read_amp.py"),
+            "/root/reference/data/motion_sequences/mi-pace/amp-mi-pace.txt",
+            str(tmp_path),
+        ]
+    )
+    root = np.loadtxt(tmp_path / "out-root_traj.txt")
+    assert root.shape == (39, 7)
+
+
+def test_label_colormap():
+    from ppr_diffphys_tpu.utils.colors import label_colormap
+
+    cm = label_colormap(65)
+    assert cm.shape == (65, 3)
+    assert len(np.unique(cm, axis=0)) == 65
