@@ -293,3 +293,66 @@ def test_rollout_gradcheck():
             assert abs(fd - an) < 1e-4 * max(abs(fd), abs(an)) + 1e-6, (idx, fd, an)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_quad_compound_drop_stability():
+    """Ball-joint (COMPOUND) robot with the reference's mass surgery
+    settles on the ground without divergence — exercises the compound
+    force path + mass surgery end to end via phys_model's builder."""
+    from ppr_diffphys_tpu.data.robot import URDFRobot
+    from ppr_diffphys_tpu.sim.builder import ModelBuilder
+    from ppr_diffphys_tpu.sim.import_urdf import parse_urdf
+
+    robot = URDFRobot(QUAD)
+    b = ModelBuilder()
+    parse_urdf(
+        QUAD, b, xform_p=(0, 0.6, 0), floating=True, density=1000,
+        armature=0.01, stiffness=660.0, damping=5.0, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    # mass surgery (as phys_model does for kp_links robots)
+    name_by_body = {n: i for i, n in enumerate(b.body_name)}
+    first_shape = {}
+    for s in b.shapes:
+        first_shape.setdefault(s.body, s)
+    for name, idx in name_by_body.items():
+        if idx not in first_shape:
+            continue
+        if name in robot.urdf.kp_links:
+            for s in b.shapes:
+                if s.body == idx:
+                    s.scale = s.scale * 2.0
+            b.body_mass[idx] *= 8
+            b.body_inertia[idx] = b.body_inertia[idx] * 32
+        b.body_inertia[idx] = b.body_inertia[idx] / b.body_mass[idx]
+        w = float(np.clip(1e3 * np.prod(first_shape[idx].scale), 1.0, 5.0))
+        b.body_inertia[idx] = b.body_inertia[idx] * w
+        b.body_mass[idx] = w
+    model = b.finalize().make_ground_contacts("hull")
+    model.joint_attach_ke, model.joint_attach_kd = 8000.0, 200.0
+
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)._replace(
+        joint_target_ke=jnp.concatenate([jnp.zeros(6), 660.0 * jnp.ones(model.n_dof)]),
+        joint_target_kd=jnp.concatenate([jnp.zeros(6), 5.0 * jnp.ones(model.n_dof)]),
+    )
+    q = jnp.asarray(model.joint_q_init)
+    body_q, body_qd = eval_fk(model, q)
+    state = SimState(body_q[None], body_qd[None])
+    tgt = jnp.zeros((1, model.n_qd))
+    act = jnp.zeros((1, model.n_qd))
+    res = jnp.zeros((1, model.n_links, 6))
+
+    def step(s, _):
+        return integ.step_only(params, s, tgt, act, res, 5e-4), None
+
+    final, _ = jax.jit(
+        lambda s: jax.lax.scan(step, s, None, length=4000)
+    )(state)
+    bq = np.asarray(final.body_q[0])
+    bqd = np.asarray(final.body_qd[0])
+    assert np.isfinite(bq).all() and np.isfinite(bqd).all()
+    assert bq[:, 1].min() > -0.2  # on/above ground, not fallen through
+    # bounded: not railing against the +-10 velocity clamp (divergence
+    # signature); the zero-angle pose legitimately topples and rocks
+    assert np.abs(bqd[:, 3:]).max() < 9.0
