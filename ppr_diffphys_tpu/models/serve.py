@@ -1,0 +1,109 @@
+"""Batched inference / serving rollouts (production path).
+
+Rolls out a trained imitation policy (checkpointed phys_model parameters:
+control-reference MLPs + identified gains/masses/global SE(3)) over many
+environments at once, driving the VMEM-resident pallas megakernel
+(sim/pallas_soa.py). This is the deployment-side counterpart of training:
+no gradients, maximal throughput (~23M env-steps/sec on one v5e chip for
+the laikago workload).
+
+Usage:
+    server = RolloutServer(opts, num_envs=4096)
+    server.load_checkpoint(path)          # optional
+    states = server.rollout(frame_start)  # (F, E, B, 7) frame states
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.amp_loader import DataLoader
+from ..ops import swap_lin_ang
+from ..sim.integrator import SimState
+from ..sim.kinematics import eval_fk
+from .phys_model import phys_model
+
+
+class RolloutServer:
+    def __init__(self, opts, num_envs=1024, frames=None, engine="soa", e_tile=128):
+        self.opts = opts
+        dataloader = DataLoader(opts)
+        self.model = phys_model(opts, dataloader)
+        self.num_envs = num_envs
+        self.frames = frames or self.model.total_frames
+        self.engine = engine
+        self.e_tile = e_tile
+        self.model.reinit_envs(num_envs, frames_per_wdw=self.frames, is_eval=True)
+        self._fn = None
+
+    def load_checkpoint(self, path):
+        self.model.load_checkpoint(path)
+        self._fn = None  # params changed; sim params are traced anyway
+
+    def _build(self):
+        m = self.model
+        sub = m.steps_per_fr_interval
+        F = self.frames
+        E = self.num_envs
+
+        if self.engine == "soa":
+            from ..sim.pallas_soa import build_soa_rollout
+
+            kern = build_soa_rollout(
+                m.integrator, m._sim_params(m.params), m.dt, sub,
+                e_tile=min(self.e_tile, E),
+            )
+        else:
+            kern = None
+
+        def fn(params, frame_start):
+            steps_fr = frame_start[:, None] + jnp.asarray(
+                m.steps_idx_fr, jnp.float32
+            )[None]
+            batch = m.get_batch_input(params, steps_fr)
+            q_init = jnp.concatenate(
+                [batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1
+            )
+            qd_init = swap_lin_ang(batch["queried_qd"][:, 0])
+            body_q, body_qd = eval_fk(m.env, q_init, qd_init)
+            state = SimState(body_q, body_qd)
+
+            S = steps_fr.shape[1]
+            ref = jnp.concatenate(
+                [jnp.zeros((E, S, 6)), batch["queried_ja"]], -1
+            ).transpose(1, 0, 2)  # (S, E, n_qd)
+            act = jnp.zeros_like(ref)
+
+            frames_q = [state.body_q]
+            if kern is not None:
+                for f in range(F - 1):
+                    s0 = f * sub
+                    state = kern(state, ref[s0 : s0 + sub], act[s0 : s0 + sub])
+                    frames_q.append(state.body_q)
+            else:
+                res = jnp.zeros((E, m.n_links, 6))
+
+                def step(s, x):
+                    t = x
+                    return m.integrator.step_only(
+                        m._sim_params(params), s, t, t * 0, res, m.dt
+                    ), None
+
+                for f in range(F - 1):
+                    s0 = f * sub
+                    state, _ = jax.lax.scan(step, state, ref[s0 : s0 + sub])
+                    frames_q.append(state.body_q)
+            return jnp.stack(frames_q, 0)  # (F, E, B, 7)
+
+        return jax.jit(fn)
+
+    def rollout(self, frame_start=None):
+        """frame_start: (E,) starting frames (defaults to 0s).
+        Returns (F, E, B, 7) maximal-coordinate frame states."""
+        if self._fn is None:
+            self._fn = self._build()
+        if frame_start is None:
+            frame_start = jnp.zeros((self.num_envs,), jnp.float32)
+        return self._fn(self.model.params, jnp.asarray(frame_start, jnp.float32))

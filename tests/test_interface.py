@@ -125,3 +125,28 @@ def test_correct_scale_terminates(interface):
     m.correct_scale(np.arange(3))
     fh = m.get_foot_height_frame(np.arange(3))
     assert np.isfinite(fh).all()
+
+
+def test_dr_dp_alternation_cycle(interface):
+    """The full lab4d coupling cycle (reference dp_interface.py usage):
+    pull DR weights into the proxy, run physics iters, distill, push the
+    distilled weights back into the DR fields."""
+    m = interface
+    m.reinit_envs(2, frames_per_wdw=2, is_eval=False)
+
+    # DR side updates its fields (simulate by perturbing)
+    m.params["scene_field"]["logscale"] = jnp.asarray(0.05)
+    m.override_control_ref_states()
+    assert float(m.params["kinematics_proxy"]["scene_field"]["logscale"]) == \
+        pytest.approx(0.05)
+
+    # physics cycle
+    for _ in range(2):
+        out = m.forward()
+        m.update()
+    assert np.isfinite(float(out["total_loss"]))
+
+    # distillation direction: push distilled states back into DR fields
+    m.params["kinematics_distilled"]["scene_field"]["logscale"] = jnp.asarray(-0.07)
+    m.override_states_inv()
+    assert float(m.params["scene_field"]["logscale"]) == pytest.approx(-0.07)
