@@ -295,8 +295,9 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
     if gather_dof is None:
         tgt = joint_target[:, dof_idx]  # (E, B, 3)
         act = joint_act[:, dof_idx]
-        ke3 = params.joint_target_ke[dof_idx]  # (B, 3)
-        kd3 = params.joint_target_kd[dof_idx]
+        # gains may be (n_qd,) shared or (E, n_qd) per-env (system-ID sweeps)
+        ke3 = params.joint_target_ke[..., dof_idx]  # (B,3) or (E,B,3)
+        kd3 = params.joint_target_kd[..., dof_idx]
     else:
         tgt = gather_dof(joint_target)
         act = gather_dof(joint_act)
@@ -341,8 +342,9 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
         q_ang = 2.0 * kernel_math.atan2(s_tw, r_err[..., 3])
         qd_ang = jnp.sum(w_err * axis_p, -1)
 
+        _g = lambda x, k: _col(x, k) if x.ndim == 3 else _col(x, k)[None]
         fmag = _eval_joint_force(
-            q_ang, qd_ang, _col(tgt, 0), _col(ke3, 0)[None], _col(kd3, 0)[None],
+            q_ang, qd_ang, _col(tgt, 0), _g(ke3, 0), _g(kd3, 0),
             _col(act, 0), _col(lo3, 0)[None], _col(hi3, 0)[None],
             _col(lke3, 0)[None], _col(lkd3, 0)[None],
         )
@@ -373,9 +375,10 @@ def eval_body_joints(model: ArticulationModel, params: SimParams, state: SimStat
         t_cmp = jnp.zeros_like(t_total)
         for k, ax in enumerate([jnp.broadcast_to(ex, angles.shape), ax1, ax2]):
             ax_w = quat_rotate(q_w, ax)
+            _g = lambda x, kk: _col(x, kk) if x.ndim == 3 else _col(x, kk)[None]
             fmag = _eval_joint_force(
                 _col(angles, k), jnp.sum(ax_w * w_err, -1),
-                _col(tgt, k), _col(ke3, k)[None], _col(kd3, k)[None], _col(act, k),
+                _col(tgt, k), _g(ke3, k), _g(kd3, k), _col(act, k),
                 _col(lo3, k)[None], _col(hi3, k)[None],
                 _col(lke3, k)[None], _col(lkd3, k)[None],
             )
@@ -405,7 +408,10 @@ def integrate_bodies(
     t0 = body_f[..., 0:3]
     f0 = body_f[..., 3:6]
 
-    inv_m = params.body_inv_mass[None, :, None]  # (1, B, 1)
+    # (B,) shared or (E, B) per-env (system-ID sweeps)
+    inv_m = params.body_inv_mass[..., None]
+    if inv_m.ndim == 2:
+        inv_m = inv_m[None]
     gravity = jnp.asarray(model.gravity)
 
     x_com = x0 + quat_rotate(r0, com[None])
@@ -417,8 +423,10 @@ def integrate_bodies(
     # angular part in body frame with gyroscopic term. The 3x3 inertia
     # matvecs are written as broadcast multiply-sums: they are tiny, and
     # Mosaic's matmul cannot lower the unequal (B,·)x(E,B,·) batch dims.
-    def _matvec33(M, x):  # (B,3,3) @ (E,B,3) -> (E,B,3)
-        return jnp.sum(M[None] * x[:, :, None, :], axis=-1)
+    def _matvec33(M, x):  # (B,3,3) or (E,B,3,3) @ (E,B,3) -> (E,B,3)
+        if M.ndim == 3:
+            M = M[None]
+        return jnp.sum(M * x[:, :, None, :], axis=-1)
 
     wb = quat_rotate_inv(r0, w0)
     tb = quat_rotate_inv(r0, t0) - jnp.cross(wb, _matvec33(params.body_inertia, wb))

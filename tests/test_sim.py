@@ -356,3 +356,59 @@ def test_quad_compound_drop_stability():
     # bounded: not railing against the +-10 velocity clamp (divergence
     # signature); the zero-angle pose legitimately topples and rocks
     assert np.abs(bqd[:, 3:]).max() < 9.0
+
+
+def test_per_env_system_id_sweep(laikago):
+    """Per-env mass/PD-gain sweeps (BASELINE.json config 'batched multi-env
+    system-ID sweep'): different envs simulate with different parameters in
+    one batched rollout, and gradients resolve per env."""
+    model = laikago
+    model.joint_attach_ke, model.joint_attach_kd = 16000.0, 200.0
+    integ = SemiImplicitIntegrator(model)
+    q, rest = _standing_pose(model)
+    E = 4
+    body_q, body_qd = eval_fk(model, jnp.tile(jnp.array(q)[None], (E, 1)))
+    st = SimState(body_q, body_qd)
+    tgt = jnp.tile(jnp.concatenate([jnp.zeros(6), jnp.array(rest)])[None], (E, 1))
+    act = jnp.zeros((E, model.n_qd))
+    res = jnp.zeros((E, model.n_links, 6))
+
+    mass_scale = jnp.array([0.5, 1.0, 2.0, 4.0])
+
+    def final_heights(mass_scale):
+        mass = jnp.asarray(model.body_mass)[None] * mass_scale[:, None]  # (E,B)
+        inertia = jnp.asarray(model.body_inertia)[None] * mass_scale[:, None, None, None]
+        ke = jnp.tile(
+            jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(model.n_dof)])[None],
+            (E, 1),
+        )
+        kd = jnp.tile(
+            jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(model.n_dof)])[None],
+            (E, 1),
+        )
+        params = SimParams(
+            body_mass=mass, body_inv_mass=1.0 / mass,
+            body_inertia=inertia, body_inv_inertia=jnp.linalg.inv(inertia),
+            joint_target_ke=ke, joint_target_kd=kd,
+        )
+
+        def step(s, _):
+            return integ.step_only(params, s, tgt, act, res, 5e-4), None
+
+        out, _ = jax.lax.scan(step, st, None, length=200)
+        return out.body_q[:, 0, 1]  # root heights (E,)
+
+    from ppr_diffphys_tpu.sim.integrator import SimParams
+
+    h = np.asarray(jax.jit(final_heights)(mass_scale))
+    assert np.isfinite(h).all()
+    # heavier robots compress the contact/attachment springs more
+    assert not np.allclose(h, h[0])
+
+    g = jax.jit(jax.jacrev(final_heights))(mass_scale)
+    g = np.asarray(g)
+    # per-env gradients: each env's height depends (almost) only on its own
+    # mass scale — off-diagonal terms vanish
+    offdiag = g - np.diag(np.diag(g))
+    assert np.abs(np.diag(g)).max() > 0
+    assert np.abs(offdiag).max() < 1e-8
