@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import quat_to_matrix, quat_normalize, matrix_to_quat
+from ..ops import quat_to_matrix, quat_normalize
 from .mlp import CameraMLPFlax, TimeMLPFlax, FrameSampler, resolve_num_freq_t
 
 

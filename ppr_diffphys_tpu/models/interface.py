@@ -26,7 +26,6 @@ from ..ops import (
     compose_delta,
     se3_mat2vec,
     quat_to_matrix,
-    quat_normalize,
     matrix_to_quat,
 )
 from .phys_model import phys_model

@@ -7,7 +7,6 @@ vectorized masked math with identical semantics.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..ops import quat_to_matrix, quat_normalize, axis_angle_to_quat, rot_angle

@@ -31,9 +31,6 @@ from __future__ import annotations
 import os
 import pickle
 from copy import deepcopy
-from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -682,6 +679,13 @@ class phys_model:
         self.param_lr_tree = self._param_lr_tree()
         self.param_peak_lr = self._param_lrs()
         lr_tree = self.param_lr_tree
+
+        # LR table (reference prints per-param name/shape/lr,
+        # dp_model.py:507-508)
+        for name, lr in sorted(self.param_peak_lr.items()):
+            if lr > 0:
+                n_leaves = len(jax.tree_util.tree_leaves(self.params[name]))
+                print("%-24s lr=%g (%d tensors)" % (name, lr, n_leaves))
 
         def scale_by_group():
             def init_fn(params):

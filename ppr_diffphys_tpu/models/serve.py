@@ -15,7 +15,6 @@ Usage:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from .quaternion import (
-    quat_identity,
     quat_inverse,
     quat_mul,
     quat_normalize,

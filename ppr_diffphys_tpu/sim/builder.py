@@ -22,7 +22,7 @@ JAX inputs so ``jax.grad`` flows to them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

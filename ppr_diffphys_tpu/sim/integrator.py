@@ -39,7 +39,6 @@ from ..ops import (
     quat_rotate_inv,
     quat_from_axis_angle,
     quat_to_compound,
-    quat_twist,
     transform_mul,
     transform_point,
 )
@@ -47,8 +46,6 @@ from .builder import (
     ArticulationModel,
     JOINT_COMPOUND,
     JOINT_FIXED,
-    JOINT_FREE,
-    JOINT_PRISMATIC,
     JOINT_REVOLUTE,
 )
 

@@ -45,7 +45,6 @@ from ..ops import (
 from .builder import (
     ArticulationModel,
     JOINT_COMPOUND,
-    JOINT_FIXED,
     JOINT_FREE,
     JOINT_PRISMATIC,
     JOINT_REVOLUTE,

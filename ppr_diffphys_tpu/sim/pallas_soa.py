@@ -21,8 +21,6 @@ paths together numerically.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.kernel_math import atan2 as katan2
 from ..ops.kernel_math import asin as kasin
 from .builder import (
-    ArticulationModel,
     JOINT_COMPOUND,
     JOINT_FIXED,
     JOINT_REVOLUTE,
