@@ -535,6 +535,7 @@ def rollout(
     dt: float,
     substeps_per_frame: int,
     use_remat: bool = True,
+    unroll: int = 4,
 ):
     """Simulate S = substeps_per_frame*(F-1)+1 substeps, collecting state and
     force observables at the F frame boundaries.
@@ -571,7 +572,7 @@ def rollout(
             return step_fn(s, t, a, r), None
 
         state, _ = jax.lax.scan(
-            inner, state, (tgt_i[1:], act_i[1:], rf_i[1:])
+            inner, state, (tgt_i[1:], act_i[1:], rf_i[1:]), unroll=unroll
         )
         return state, (frame_state.body_q, frame_state.body_qd, grf, jaf)
 
