@@ -92,13 +92,17 @@ def main(_):
                 jax.profiler.stop_trace()
 
         t = time.time()
-        loss = 0.0
+        accu = []
         for _accu in range(opts["accu_steps"]):
             loss_dict = model.forward()
-            loss = loss + float(loss_dict["total_loss"])
-        loss = loss / float(opts["accu_steps"])
-        model.backward(loss)
+            accu.append(loss_dict["total_loss"])
+        model.backward(None)
         grad_dict = model.update()
+        # single device->host transfer for all logged scalars
+        import jax
+
+        loss_dict, accu = jax.device_get((loss_dict, accu))
+        loss = float(sum(accu)) / float(opts["accu_steps"])
         loss_dict = {k: float(v) for k, v in loss_dict.items()}
         loss_dict.update(grad_dict)
         loss_dict["iter_time"] = time.time() - t

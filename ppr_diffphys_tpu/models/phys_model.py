@@ -724,9 +724,14 @@ class phys_model:
         grads = jax.tree.map(
             lambda *g: sum(g) / n, *[a[0] for a in self._grad_accum]
         )
-        gnorm = float(sum(float(a[2]) for a in self._grad_accum) / n)
-        norms = {k: float(sum(float(a[1][k]) for a in self._grad_accum) / n)
-                 for k in self._grad_accum[0][1]}
+        # ONE host transfer for all grad statistics (each float() would be a
+        # separate device->host round trip — expensive over the TPU tunnel)
+        gnorm_dev = sum(a[2] for a in self._grad_accum) / n
+        norms_dev = {k: sum(a[1][k] for a in self._grad_accum) / n
+                     for k in self._grad_accum[0][1]}
+        gnorm, norms = jax.device_get((gnorm_dev, norms_dev))
+        gnorm = float(gnorm)
+        norms = {k: float(v) for k, v in norms.items()}
         self._grad_accum = []
 
         grad_dict = self.check_grad_dict(grads, norms, gnorm)
