@@ -81,23 +81,23 @@ def main():
     act = jnp.zeros((E, model.n_qd))
     res = jnp.zeros((E, model.n_links, 6))
 
-    if ENGINE == "soa":
+    def build_soa():
         from ppr_diffphys_tpu.sim.pallas_soa import build_soa_rollout
 
         INTERVAL = 33  # substeps per kernel invocation (one mocap frame)
-        n_intervals = STEPS // INTERVAL
+        n_iv = STEPS // INTERVAL
         tgt_s = jnp.tile(target[None], (INTERVAL, 1, 1))
         act_s = jnp.zeros((INTERVAL, E, model.n_qd))
         kern = build_soa_rollout(integ, params, 5e-4, INTERVAL, e_tile=128)
 
-        def run_soa(state, n_iv):
-            for _ in range(n_iv):
+        def run_soa(state, n):
+            for _ in range(n):
                 state = kern(state, tgt_s, act_s)
             return state
 
-        run_jit = jax.jit(run_soa, static_argnums=1)
-        steps_eff = n_intervals * INTERVAL
-    else:
+        return jax.jit(run_soa, static_argnums=1), n_iv, n_iv * INTERVAL
+
+    def build_xla():
         def run(state, n):
             def step(s, _):
                 return integ.step_only(params, s, target, act, res, 5e-4), None
@@ -105,13 +105,19 @@ def main():
             out, _ = jax.lax.scan(step, state, None, length=n, unroll=4)
             return out
 
-        run_jit = jax.jit(run, static_argnums=1)
-        steps_eff = STEPS
-        n_intervals = STEPS
+        return jax.jit(run, static_argnums=1), STEPS, STEPS
 
-    # warmup + compile
-    state1 = run_jit(state, n_intervals)
-    jax.block_until_ready(state1)
+    if ENGINE == "soa":
+        run_jit, n_intervals, steps_eff = build_soa()
+        try:  # warmup + compile; fall back to XLA if pallas cannot compile
+            jax.block_until_ready(run_jit(state, n_intervals))
+        except Exception as e:
+            print("soa engine failed (%s); falling back to xla" % type(e).__name__,
+                  file=sys.stderr)
+            ENGINE = "xla"
+    if ENGINE != "soa":
+        run_jit, n_intervals, steps_eff = build_xla()
+        jax.block_until_ready(run_jit(state, n_intervals))
 
     t0 = time.perf_counter()
     reps = 3
