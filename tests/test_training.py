@@ -170,3 +170,20 @@ def test_camera_mlp_prior_fitting():
     cams = np.asarray(field.get_camera(fitted, jnp.arange(n, dtype=jnp.float32)))
     err = np.abs(cams - rtmat).max()
     assert err < 0.15, err
+
+
+def test_rollout_server(tmp_path):
+    """Serving path: batched rollout from a checkpoint (models/serve.py)."""
+    from ppr_diffphys_tpu.models.serve import RolloutServer
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=1,
+        logroot=str(tmp_path),
+    )
+    srv = RolloutServer(opts, num_envs=2, frames=3, engine="xla")
+    out = np.asarray(srv.rollout())
+    assert out.shape == (3, 2, 13, 7)
+    assert np.isfinite(out).all()
+    # deterministic across calls
+    out2 = np.asarray(srv.rollout())
+    np.testing.assert_allclose(out, out2)
