@@ -320,6 +320,57 @@ class phys_model:
             joint_X_p=joint_X_p,
         )
 
+    # -- reference-surface compatibility helpers -----------------------
+    def get_mocap_data(self, steps_fr):
+        """Interpolated + GL-converted mocap slices at (possibly
+        fractional) frames (reference get_mocap_data, dp_model.py:605-609).
+        The bullet->GL conversion is already baked into the device table.
+        """
+        amp = self._interp_amp(jnp.asarray(steps_fr, jnp.float32))
+        return parse_amp(amp)
+
+    def get_net_pred(self, steps_fr, params=None):
+        """The five time-MLP predictions for a (bs, T) frame grid
+        (reference get_net_pred, dp_model.py:518-552). Returns
+        (torques, delta_root, delta_ja_ref, state_qd, res_f)."""
+        params = self.params if params is None else params
+        steps_fr = jnp.asarray(steps_fr, jnp.float32)
+        bs, nstep = steps_fr.shape
+        flat = steps_fr.reshape(-1)
+        torques = self._mlp(params, "torque_mlp", flat).reshape(bs, nstep, -1) * 0.0
+        res_f = self._mlp(params, "residual_f_mlp", flat).reshape(bs, nstep, -1, 6)
+        res_f = (res_f.at[..., :3].multiply(10.0)).reshape(bs, nstep, -1) * 0.0
+        delta_root = self._mlp(params, "root_pose_mlp", flat).reshape(bs, nstep, -1)
+        delta_ja = self._mlp(params, "joint_angle_mlp", flat).reshape(bs, nstep, -1)
+        state_qd = self._mlp(params, "vel_mlp", flat).reshape(bs, nstep, -1)
+        return torques, delta_root, delta_ja, state_qd, res_f
+
+    @staticmethod
+    def rearrange_pred(queried_q, queried_ja, queried_qd, torques, res_f):
+        """(bs, T, .) -> (T, bs*.) layouts (reference rearrange_pred,
+        dp_model.py:554-572)."""
+        bs, nstep, _ = queried_q.shape
+        qq = jnp.concatenate([queried_q, queried_ja], -1)
+        qq = qq.transpose(1, 0, 2).reshape(nstep, -1)
+        qd = queried_qd.transpose(1, 0, 2).reshape(nstep, -1)
+        ref_ja = jnp.concatenate(
+            [jnp.zeros_like(queried_ja[..., :1].repeat(6, -1)), queried_ja], -1
+        ).transpose(1, 0, 2).reshape(nstep, -1)
+        torques = torques.reshape(nstep, -1)
+        res_f = res_f.reshape(nstep, -1, 6)
+        return ref_ja, qq, qd, torques, res_f
+
+    def get_optimizable_param_list(self):
+        """(params_ref_list, params_list, lr_list) over trainable top-level
+        groups (reference dp_model.py:478-509)."""
+        params_ref_list, params_list, lr_list = [], [], []
+        for name, lr in sorted(self.param_peak_lr.items()):
+            if lr > 0:
+                params_ref_list.append({name: self.params[name]})
+                params_list.append(self.params[name])
+                lr_list.append(lr)
+        return params_ref_list, params_list, lr_list
+
     def get_batch_input(self, params, steps_fr):
         """Targets + network predictions for a window (reference
         dp_model.py:611-662). steps_fr (E, S) fractional frames.
