@@ -150,3 +150,38 @@ def test_dr_dp_alternation_cycle(interface):
     m.params["kinematics_distilled"]["scene_field"]["logscale"] = jnp.asarray(-0.07)
     m.override_states_inv()
     assert float(m.params["scene_field"]["logscale"]) == pytest.approx(-0.07)
+
+
+def test_human_template_interface_forward():
+    """Human (biped, 18 ball joints) through the coupling layer — the
+    'human URDF motion imitation' config of BASELINE.json."""
+    from ppr_diffphys_tpu.data.robot import URDFRobot
+    from ppr_diffphys_tpu.models.fields import (
+        CameraField, ObjectField, IntrinsicsField,
+    )
+    from ppr_diffphys_tpu.models.interface import phys_interface
+
+    rng = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(rng)
+    offsets = [0, 10]
+    robot = URDFRobot("/root/reference/data/urdf_templates/human.urdf")
+    obj = ObjectField(offsets, robot, k1)
+    scn = CameraField(offsets, k2)
+    intr = IntrinsicsField(offsets)
+    opts = build_opts(
+        urdf_template="human", num_rounds=1, iters_per_round=1,
+        logroot="/tmp/ppr_iface_h", pos_distill_wt=0.0, phys_vid=[0],
+        noise_std=0.0,
+    )
+    m = phys_interface(opts, dict(
+        scene_field=(scn, scn.init_params),
+        object_field=(obj, obj.init_params),
+        intrinsics=(intr, intr.init_params),
+        frame_interval=1.0 / 30, frame_info=None,
+    ))
+    assert (m.n_links, m.n_dof) == (19, 54)
+    m.reinit_envs(1, frames_per_wdw=2, is_eval=False)
+    out = m.forward()
+    assert np.isfinite(float(out["total_loss"]))
+    gd = m.update()
+    assert any(k.startswith("grad/") for k in gd)
