@@ -81,13 +81,29 @@ def articulate_robot_rbrt(
     return mesh, np.concatenate(color_list, 0)
 
 
+def _cone_mesh(radius, height, n=10):
+    """Cone along +z with base at z=0 (role of trimesh.creation.cone)."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang), np.zeros(n)], -1)
+    verts = np.concatenate([ring, [[0, 0, height]], [[0, 0, 0]]], 0)
+    apex, base = n, n + 1
+    faces = []
+    for i in range(n):
+        faces.append([i, (i + 1) % n, apex])
+        faces.append([(i + 1) % n, i, base])
+    return TriMesh(verts, np.asarray(faces, np.int32))
+
+
 def _arrow_mesh(mag, origin, direction):
-    """Force arrow (reference urdf_utils.py:281-290)."""
+    """Force arrow: box shaft + cone tip (reference urdf_utils.py:281-290)."""
     from ..sim.mesh import box_mesh
 
     mag = np.clip(mag / 200.0, 0.0, 1.0)
     shaft = box_mesh(0.025, 0.025, 0.5 * mag)
-    v = shaft.vertices.copy()
+    cone = _cone_mesh(0.05, 0.1)
+    cone.vertices[:, 2] += 0.5 * mag
+    arrow = concatenate_meshes([shaft, cone])
+    v = arrow.vertices.copy()
     v[:, 2] += 0.5 * mag
     # orient +z onto direction
     z = direction / max(np.linalg.norm(direction), 1e-9)
@@ -97,7 +113,7 @@ def _arrow_mesh(mag, origin, direction):
     o1 /= np.linalg.norm(o1)
     o2 = np.cross(z, o1)
     R = np.stack([-o2, o1, z], axis=1)
-    return TriMesh(v @ R.T + origin[None], shaft.faces)
+    return TriMesh(v @ R.T + origin[None], arrow.faces)
 
 
 def articulate_robot(urdf, cfg=None, use_collision=False):
@@ -246,6 +262,23 @@ class PhysVisualizer:
                 streams["distilled"].append(
                     self._render(renderer, [(dmesh, dc), (target_mesh, tdim)], keep)
                 )
+            # optional value-colored streams (reference vis.py:136-162:
+            # per-body error / velocity / acceleration magnitudes)
+            for key, vmax in (("err", 0.1), ("as", 2.0), ("vs", 0.5)):
+                if key in data:
+                    val = np.asarray(data[key][frame])
+                    mesh_v, _ = articulate_robot_rbrt(model, data["sim_traj"][frame])
+                    _, _, vbody = model.collision_mesh()
+                    v01 = np.clip(val, -vmax, vmax) / vmax / 2 + 0.5
+                    from matplotlib import pyplot as plt
+
+                    cmv = plt.get_cmap("plasma")
+                    colors_v = (
+                        np.asarray(cmv(v01[vbody]))[:, :3] * 255
+                    ).astype(np.uint8)
+                    streams.setdefault(key, []).append(
+                        self._render(renderer, [(mesh_v, colors_v)], keep)
+                    )
 
         all_imgs = [
             np.concatenate([s[i] for s in streams.values()], axis=1)
