@@ -412,3 +412,80 @@ def test_per_env_system_id_sweep(laikago):
     offdiag = g - np.diag(np.diag(g))
     assert np.abs(np.diag(g)).max() > 0
     assert np.abs(offdiag).max() < 1e-8
+
+
+def test_rollout_frame_semantics(laikago):
+    """rollout() collects states at frame boundaries *before* the boundary
+    substep and grf/jaf *from* the boundary substep — exactly the
+    reference's collection points (dp_model.py:1231-1246)."""
+    model = laikago
+    model.joint_attach_ke, model.joint_attach_kd = 16000.0, 200.0
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)._replace(
+        joint_target_ke=jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)]),
+        joint_target_kd=jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)]),
+    )
+    q, rest = _standing_pose(model)
+    E, sub, F = 2, 5, 4
+    S = sub * (F - 1) + 1
+    rng = np.random.RandomState(0)
+    tgt = jnp.asarray(
+        np.tile(np.concatenate([np.zeros(6), rest])[None, None], (S, E, 1))
+        + rng.randn(S, E, model.n_qd).astype(np.float32) * 0.01
+    )
+    act = jnp.zeros((S, E, model.n_qd))
+    res = jnp.zeros((S, E, model.n_links, 6))
+    body_q, body_qd = eval_fk(model, jnp.tile(jnp.array(q)[None], (E, 1)))
+    st0 = SimState(body_q, body_qd)
+
+    bq, bqd, grf, jaf = rollout(integ, params, st0, tgt, act, res, 5e-4, sub)
+    assert bq.shape == (F, E, model.n_links, 7)
+
+    # manual step-by-step replication
+    s = st0
+    exp_q, exp_grf = [], []
+    for i in range(S):
+        if i % sub == 0:
+            exp_q.append(s.body_q)
+            _, g, _ = integ.simulate(params, s, tgt[i], act[i], res[i], 5e-4)
+            exp_grf.append(g)
+        s = integ.step_only(params, s, tgt[i], act[i], res[i], 5e-4)
+
+    np.testing.assert_allclose(np.asarray(bq), np.asarray(jnp.stack(exp_q)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grf), np.asarray(jnp.stack(exp_grf)), atol=5e-3)
+
+
+def test_quad_compound_gradcheck():
+    """float64 finite-difference gradcheck through a short compound-joint
+    rollout (the intrinsic-XYZ decompose + 3-axis PD path)."""
+    model = build(QUAD)
+    model.joint_attach_ke, model.joint_attach_kd = 800.0, 20.0
+    integ = SemiImplicitIntegrator(model)
+    ke = jnp.concatenate([jnp.zeros(6), 660.0 * jnp.ones(model.n_dof)])
+    kd = jnp.concatenate([jnp.zeros(6), 5.0 * jnp.ones(model.n_dof)])
+    S, E = 12, 1
+    tgt = jnp.zeros((S, E, model.n_qd))
+    act = jnp.zeros((S, E, model.n_qd))
+    res = jnp.zeros((S, E, model.n_links, 6))
+
+    def loss_fn(q_init):
+        params = default_sim_params(model)._replace(
+            joint_target_ke=ke, joint_target_kd=kd)
+        bq0, bqd0 = eval_fk(model, q_init)
+        o = rollout(integ, params, SimState(bq0[None], bqd0[None]),
+                    tgt, act, res, 5e-4, 11)
+        return jnp.sum(o[0][-1, 0, :, :3] ** 2)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        q0 = jnp.asarray(model.joint_q_init, jnp.float64)
+        q0 = q0.at[7:].add(0.05)  # nonzero ball-joint angles
+        g = np.asarray(jax.jit(jax.grad(loss_fn))(q0))
+        assert np.isfinite(g).all()
+        f = jax.jit(loss_fn)
+        eps = 1e-5
+        for idx in [1, 4, 9, 30]:
+            fd = (float(f(q0.at[idx].add(eps))) - float(f(q0.at[idx].add(-eps)))) / (2 * eps)
+            assert abs(fd - g[idx]) < 1e-4 * max(abs(fd), abs(g[idx])) + 1e-6, (idx, fd, g[idx])
+    finally:
+        jax.config.update("jax_enable_x64", False)
