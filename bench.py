@@ -132,7 +132,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched_laikago_rollout_throughput",
+                "metric": "batched_%s_rollout_throughput" % os.path.basename(urdf).split(".")[0],
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env-steps/sec",
                 "vs_baseline": round(env_steps_per_sec / 1e6, 3),

@@ -1,4 +1,4 @@
-"""lab4d coupling layer tests (reference dp_interface.py behavior) using
+"""lab4d coupling layer tests (marked slow: quad/human grad compiles take minutes cold) (reference dp_interface.py behavior) using
 the pure-JAX mock fields from models/fields.py — the 'fake backend' test
 strategy SURVEY.md §4 prescribes for the external coupling."""
 
@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import pytest
 
 from ppr_diffphys_tpu.utils.config import build_opts
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")
