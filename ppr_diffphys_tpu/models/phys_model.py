@@ -867,6 +867,14 @@ class phys_model:
         )
 
         save_dict = self.model_cache[1]
+        if self.opts.get("ckpt_backend", "pickle") == "orbax":
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            for name in ("ckpt_phys_%04d.orbax" % steps_count, "ckpt_phys_latest.orbax"):
+                path = os.path.abspath(os.path.join(self.save_dir, name))
+                ckptr.save(path, save_dict, force=True)
+            return
         param_path = "%s/ckpt_phys_%04d.pth" % (self.save_dir, steps_count)
         with open(param_path, "wb") as f:
             pickle.dump(save_dict, f)
@@ -875,8 +883,13 @@ class phys_model:
             pickle.dump(save_dict, f)
 
     def load_checkpoint(self, model_path):
-        with open(model_path, "rb") as f:
-            states = pickle.load(f)
+        if str(model_path).endswith(".orbax"):
+            import orbax.checkpoint as ocp
+
+            states = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_path))
+        else:
+            with open(model_path, "rb") as f:
+                states = pickle.load(f)
         # non-strict load (reference :932-934)
         for k, v in states.items():
             if k in self.params:

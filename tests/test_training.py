@@ -187,3 +187,18 @@ def test_rollout_server(tmp_path):
     # deterministic across calls
     out2 = np.asarray(srv.rollout())
     np.testing.assert_allclose(out, out2)
+
+
+def test_orbax_checkpoint_roundtrip(model, tmp_path):
+    model.opts["ckpt_backend"] = "orbax"
+    model.save_dir = str(tmp_path)
+    try:
+        model.save_checkpoint(7)
+        p = os.path.join(str(tmp_path), "ckpt_phys_0007.orbax")
+        assert os.path.exists(p)
+        before = np.asarray(model.params["target_ke"]).copy()
+        model.params["target_ke"] = model.params["target_ke"] + 1.0
+        model.load_checkpoint(p)
+        np.testing.assert_allclose(np.asarray(model.params["target_ke"]), before)
+    finally:
+        model.opts["ckpt_backend"] = "pickle"
