@@ -108,6 +108,25 @@ class SoftwareRenderer:
         m[2, 3] = depth
         self.scene_to_cam = m
 
+    def get_cam_to_scene(self):
+        """Inverse of scene_to_cam (reference pyrender_wrapper.py:93-97)."""
+        out = np.eye(4, dtype=np.float32)
+        R = self.scene_to_cam[:3, :3]
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ self.scene_to_cam[:3, 3]
+        return out
+
+    def set_light_topdown(self, gl=False):
+        """Top-down directional light (reference pyrender_wrapper.py:73-79)."""
+        self.light_dir = np.array([0.0, 1.0, 0.0], np.float32)
+
+    def align_light_to_camera(self):
+        """Point the light along the camera axis
+        (reference pyrender_wrapper.py:81-82)."""
+        self.light_dir = np.ascontiguousarray(
+            -self.scene_to_cam[:3, :3].T @ np.array([0, 0, 1.0], np.float32)
+        )
+
     # -- render ---------------------------------------------------------
     def render(self, verts, faces, colors, background=255):
         """verts (V,3) world, faces (F,3), colors (V,3) uint8 -> (H,W,3)."""
