@@ -202,3 +202,28 @@ def test_orbax_checkpoint_roundtrip(model, tmp_path):
         np.testing.assert_allclose(np.asarray(model.params["target_ke"]), before)
     finally:
         model.opts["ckpt_backend"] = "pickle"
+
+
+def test_training_determinism():
+    """Same seed -> bitwise-identical losses across fresh models: force
+    scatters are matmuls (no atomics), randomness is counter-based
+    jax.random — determinism by construction (SURVEY §5 race detection)."""
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+
+    def run():
+        opts = build_opts(
+            seqname="mi-pace", num_rounds=1, iters_per_round=2,
+            logroot="/tmp/ppr_det", seed=123,
+        )
+        m = phys_model(opts, DataLoader(opts))
+        m.reinit_envs(2, frames_per_wdw=3, is_eval=False)
+        losses = []
+        for _ in range(3):
+            out = m.forward()
+            m.update()
+            losses.append(float(out["total_loss"]))
+        return losses
+
+    a, b = run(), run()
+    assert a == b, (a, b)
