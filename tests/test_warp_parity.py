@@ -1,0 +1,427 @@
+"""Numerical parity vs the *actual* Warp reference kernels (VERDICT.md #1).
+
+The reference's physics is fully specified by the three Warp-DSL kernels in
+``/root/reference/diffphys/integrator_euler.py`` (eval_body_contacts :93-179,
+eval_body_joints :289-451, integrate_bodies :21-91). warp-lang itself cannot
+be installed here, but the kernels are plain Python functions once the
+``warp`` builtins they call are provided — which ``tests/warp_shim.py`` does
+in float64 NumPy. These tests therefore execute the reference's *own source
+code* (imported read-only, never copied) and compare it against our fp32
+JAX/TPU integrator:
+
+- per-kernel force parity on contact-rich randomized states, for all three
+  robot templates (laikago revolute, quad/human compound) + a synthetic
+  FIXED-joint articulation the templates don't cover;
+- multi-substep trajectory parity (the full simulate() loop) at the
+  reference's dt=5e-4, including penetrating & sliding contact states.
+
+Scope note: the remaining reference physics surface (wp.sim's eval_fk and
+Model.collide) lives in the warp *package*, not the reference repo, so it
+cannot be executed; FK is instead pinned against urdfpy link_fk
+(test_sim.py) and the contact-candidate generation against wp.sim.collide's
+documented semantics (builder.py make_ground_contacts docstring).
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import warp_shim
+from warp_shim import launch, spatial_vector, transform, mat33, vec3, quat
+
+from ppr_diffphys_tpu.sim.builder import ModelBuilder, JOINT_FIXED, JOINT_REVOLUTE
+from ppr_diffphys_tpu.sim.import_urdf import parse_urdf
+from ppr_diffphys_tpu.sim.kinematics import eval_fk
+from ppr_diffphys_tpu.sim import integrator as jint
+from ppr_diffphys_tpu.sim.integrator import (
+    SemiImplicitIntegrator,
+    SimState,
+    default_sim_params,
+)
+
+LAIKAGO = "/root/reference/data/urdf_templates/laikago/laikago.urdf"
+QUAD = "/root/reference/data/urdf_templates/quad.urdf"
+HUMAN = "/root/reference/data/urdf_templates/human.urdf"
+
+REF = warp_shim.load_reference_integrator()
+
+
+# ---------------------------------------------------------------------------
+# fixtures / conversion helpers
+# ---------------------------------------------------------------------------
+
+def build(path, attach=(16000.0, 200.0), contact_mode="hull"):
+    b = ModelBuilder()
+    parse_urdf(
+        path, b, xform_p=(0, 0.4, 0), floating=True, density=1000,
+        armature=0.01, stiffness=220.0, damping=2.0, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    m = b.finalize().make_ground_contacts(contact_mode)
+    m.joint_attach_ke, m.joint_attach_kd = attach
+    return m
+
+
+@pytest.fixture(scope="module")
+def laikago():
+    return build(LAIKAGO)
+
+
+@pytest.fixture(scope="module")
+def quad():
+    return build(QUAD)
+
+
+@pytest.fixture(scope="module")
+def human():
+    return build(HUMAN)
+
+
+def random_state(model, rng, penetrate=True):
+    """Contact-rich randomized state: FK pose with root dropped so several
+    contact points penetrate the ground, plus bounded random velocities."""
+    q = np.array(model.joint_q_init, np.float64)
+    n_act = model.n_q - 7
+    lo = np.maximum(model.joint_limit_lower[6:], -0.6)
+    hi = np.minimum(model.joint_limit_upper[6:], 0.6)
+    q[7:] = rng.uniform(lo, hi, n_act)
+    q[0:3] = rng.uniform(-0.1, 0.1, 3)
+    if penetrate:
+        q[1] -= 0.05  # sink the robot so hull points go below the plane
+    aa = rng.uniform(-0.2, 0.2, 3)
+    ang = np.linalg.norm(aa)
+    q[3:7] = np.concatenate([aa / max(ang, 1e-9) * np.sin(ang / 2), [np.cos(ang / 2)]])
+
+    qd = rng.uniform(-1.0, 1.0, model.n_qd)
+    qd[0:3] *= 2.0  # root angular
+    qd[3:6] *= 2.0  # root linear (sliding contacts)
+    body_q, body_qd = eval_fk(
+        model, jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32)
+    )
+    return np.array(body_q, np.float64), np.array(body_qd, np.float64)
+
+
+def to_wp_lists(model, body_q, body_qd):
+    bq = [transform(body_q[i, 0:3], body_q[i, 3:7]) for i in range(model.n_links)]
+    bqd = [spatial_vector(body_qd[i]) for i in range(model.n_links)]
+    return bq, bqd
+
+
+def wp_model_args(model):
+    """Static model arrays in the object layout the reference kernels read."""
+    com = [vec3(c) for c in model.body_com]
+    X_p = [transform(x[0:3], x[3:7]) for x in model.joint_X_p]
+    X_c = [transform(x[0:3], x[3:7]) for x in model.joint_X_c]
+    axis = [vec3(a) for a in model.joint_axis]
+    return com, X_p, X_c, axis
+
+
+def ref_contact_forces(model, body_q, body_qd):
+    bq, bqd = to_wp_lists(model, body_q, body_qd)
+    com = [vec3(c) for c in model.body_com]
+    mats = [np.asarray(m, np.float64) for m in model.contact_material]
+    body_f = [spatial_vector() for _ in range(model.n_links)]
+    launch(
+        REF.eval_body_contacts,
+        model.contact_count,
+        inputs=[
+            bq, bqd, com,
+            model.contact_body,
+            [vec3(p) for p in model.contact_point],
+            model.contact_dist.astype(np.float64),
+            np.arange(model.contact_count),
+            mats,
+        ],
+        outputs=[body_f],
+    )
+    return np.stack(body_f)
+
+
+def ref_joint_forces(model, body_q, body_qd, target, act):
+    bq, bqd = to_wp_lists(model, body_q, body_qd)
+    com, X_p, X_c, axis = wp_model_args(model)
+    body_f = [spatial_vector() for _ in range(model.n_links)]
+    # pad per-dof arrays: a trailing 0-dof FIXED joint has qd_start == n_qd
+    # and the kernel reads (and ignores) joint_target[qd_start] — harmless
+    # garbage on CUDA, an IndexError in plain Python
+    pad = lambda a: np.concatenate([a.astype(np.float64), np.zeros(3)])
+    launch(
+        REF.eval_body_joints,
+        model.n_links,
+        inputs=[
+            bq, bqd, com,
+            model.joint_q_start, model.joint_qd_start,
+            model.joint_type, model.joint_parent,
+            X_p, X_c, axis,
+            pad(target), pad(act),
+            pad(model.joint_target_ke),
+            pad(model.joint_target_kd),
+            pad(model.joint_limit_lower),
+            pad(model.joint_limit_upper),
+            pad(model.joint_limit_ke),
+            pad(model.joint_limit_kd),
+            float(model.joint_attach_ke), float(model.joint_attach_kd),
+        ],
+        outputs=[body_f],
+    )
+    return np.stack(body_f)
+
+
+def ref_integrate(model, params, body_q, body_qd, body_f, dt):
+    bq, bqd = to_wp_lists(model, body_q, body_qd)
+    com = [vec3(c) for c in model.body_com]
+    I = [mat33(np.asarray(params.body_inertia)[i]) for i in range(model.n_links)]
+    inv_I = [mat33(np.asarray(params.body_inv_inertia)[i]) for i in range(model.n_links)]
+    bf = [spatial_vector(body_f[i]) for i in range(model.n_links)]
+    bq_new = [transform() for _ in range(model.n_links)]
+    bqd_new = [spatial_vector() for _ in range(model.n_links)]
+    launch(
+        REF.integrate_bodies,
+        model.n_links,
+        inputs=[
+            bq, bqd, bf, com,
+            np.asarray(params.body_mass, np.float64),
+            I,
+            np.asarray(params.body_inv_mass, np.float64),
+            inv_I,
+            vec3(model.gravity),
+            float(dt),
+        ],
+        outputs=[bq_new, bqd_new],
+    )
+    return (
+        np.stack([t.to7() for t in bq_new]),
+        np.stack(bqd_new),
+    )
+
+
+def assert_force_close(ours, ref, rtol=2e-3, floor=1e-2):
+    """Compare force arrays: relative to the per-array force scale (fp32 ours
+    vs f64 oracle; attach springs make magnitudes O(1e2-1e4))."""
+    scale = max(float(np.abs(ref).max()), floor)
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=rtol * scale)
+
+
+# ---------------------------------------------------------------------------
+# per-kernel parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("template", ["laikago", "quad", "human"])
+def test_contact_kernel_parity(template, request):
+    model = request.getfixturevalue(template)
+    rng = np.random.default_rng(0)
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)
+    for trial in range(3):
+        body_q, body_qd = random_state(model, rng)
+        ref = ref_contact_forces(model, body_q, body_qd)
+        assert np.abs(ref).sum() > 0, "state generated no active contacts"
+        ours = jint.eval_body_contacts(
+            model, params,
+            SimState(jnp.asarray(body_q, jnp.float32)[None],
+                     jnp.asarray(body_qd, jnp.float32)[None]),
+            integ.scatter_contact, integ.gather_contact,
+        )
+        assert_force_close(np.array(ours[0]), ref)
+
+
+@pytest.mark.parametrize("template", ["laikago", "quad", "human"])
+def test_joint_kernel_parity(template, request):
+    model = request.getfixturevalue(template)
+    rng = np.random.default_rng(1)
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)
+    for trial in range(3):
+        body_q, body_qd = random_state(model, rng)
+        target = np.zeros(model.n_qd)
+        target[6:] = rng.uniform(-0.4, 0.4, model.n_qd - 6)
+        act = np.zeros(model.n_qd)
+        act[6:] = rng.uniform(-5.0, 5.0, model.n_qd - 6)
+        ref = ref_joint_forces(model, body_q, body_qd, target, act)
+        ours = jint.eval_body_joints(
+            model, params,
+            SimState(jnp.asarray(body_q, jnp.float32)[None],
+                     jnp.asarray(body_qd, jnp.float32)[None]),
+            jnp.asarray(target, jnp.float32)[None],
+            jnp.asarray(act, jnp.float32)[None],
+            integ.scatter_parent, integ.gather_parent, integ.gather_dof,
+        )
+        assert_force_close(np.array(ours[0]), ref)
+
+
+@pytest.mark.parametrize("template", ["laikago", "quad", "human"])
+def test_integrate_kernel_parity(template, request):
+    model = request.getfixturevalue(template)
+    rng = np.random.default_rng(2)
+    params = default_sim_params(model)
+    dt = 5e-4
+    for trial in range(3):
+        body_q, body_qd = random_state(model, rng)
+        body_f = rng.uniform(-50.0, 50.0, (model.n_links, 6))
+        rq, rqd = ref_integrate(model, params, body_q, body_qd, body_f, dt)
+        state = jint.integrate_bodies(
+            model, params,
+            SimState(jnp.asarray(body_q, jnp.float32)[None],
+                     jnp.asarray(body_qd, jnp.float32)[None]),
+            jnp.asarray(body_f, jnp.float32)[None], dt,
+        )
+        np.testing.assert_allclose(np.array(state.body_q[0]), rq, atol=2e-5)
+        np.testing.assert_allclose(np.array(state.body_qd[0]), rqd, atol=2e-4)
+
+
+def test_fixed_joint_parity():
+    """The templates have no FIXED joints; cover that branch synthetically."""
+    b = ModelBuilder()
+    b.add_body(parent=-1, joint_type=0, name="root")  # FREE
+    b.add_shape_box(0, (0, 0, 0), (0, 0, 0, 1), 0.1, 0.1, 0.1, density=1000)
+    b.add_body(
+        parent=0, joint_type=JOINT_FIXED,
+        joint_xform=np.array([0.25, 0, 0, 0, 0, 0, 1.0], np.float64),
+        name="child",
+    )
+    b.add_shape_box(1, (0, 0, 0), (0, 0, 0, 1), 0.1, 0.1, 0.1, density=1000)
+    model = b.finalize().make_ground_contacts()
+    model.joint_attach_ke, model.joint_attach_kd = 16000.0, 200.0
+    integ = SemiImplicitIntegrator(model)
+    params = default_sim_params(model)
+
+    rng = np.random.default_rng(3)
+    # misaligned child so the fixed-joint spring works
+    body_q = np.array(
+        [[0, 0.3, 0, 0, 0, 0, 1.0], [0.27, 0.32, 0.01, 0.05, 0.02, -0.03, 0.998]],
+        np.float64,
+    )
+    body_q[1, 3:7] /= np.linalg.norm(body_q[1, 3:7])
+    body_qd = rng.uniform(-0.5, 0.5, (2, 6))
+    target = np.zeros(model.n_qd)
+    act = np.zeros(model.n_qd)
+    ref = ref_joint_forces(model, body_q, body_qd, target, act)
+    ours = jint.eval_body_joints(
+        model, params,
+        SimState(jnp.asarray(body_q, jnp.float32)[None],
+                 jnp.asarray(body_qd, jnp.float32)[None]),
+        jnp.asarray(target, jnp.float32)[None],
+        jnp.asarray(act, jnp.float32)[None],
+        integ.scatter_parent, integ.gather_parent, integ.gather_dof,
+    )
+    assert np.abs(ref).sum() > 0
+    assert_force_close(np.array(ours[0]), ref)
+
+
+# ---------------------------------------------------------------------------
+# trajectory parity (full simulate loop)
+# ---------------------------------------------------------------------------
+
+def ref_trajectory(model, params, body_q, body_qd, targets, acts, dt, steps):
+    """Reference semantics: zero forces, contacts, joints, integrate —
+    matching SemiImplicitIntegrator.simulate + the dp_model hot loop."""
+    com, X_p, X_c, axis = wp_model_args(model)
+    mats = [np.asarray(m, np.float64) for m in model.contact_material]
+    cpoints = [vec3(p) for p in model.contact_point]
+    cmat_idx = np.arange(model.contact_count)
+    traj = [body_q.copy()]
+    for s in range(steps):
+        bq, bqd = to_wp_lists(model, body_q, body_qd)
+        body_f = [spatial_vector() for _ in range(model.n_links)]
+        launch(
+            REF.eval_body_contacts, model.contact_count,
+            inputs=[bq, bqd, com, model.contact_body, cpoints,
+                    model.contact_dist.astype(np.float64), cmat_idx, mats],
+            outputs=[body_f],
+        )
+        launch(
+            REF.eval_body_joints, model.n_links,
+            inputs=[bq, bqd, com, model.joint_q_start, model.joint_qd_start,
+                    model.joint_type, model.joint_parent, X_p, X_c, axis,
+                    targets[s].astype(np.float64), acts[s].astype(np.float64),
+                    model.joint_target_ke.astype(np.float64),
+                    model.joint_target_kd.astype(np.float64),
+                    model.joint_limit_lower.astype(np.float64),
+                    model.joint_limit_upper.astype(np.float64),
+                    model.joint_limit_ke.astype(np.float64),
+                    model.joint_limit_kd.astype(np.float64),
+                    float(model.joint_attach_ke), float(model.joint_attach_kd)],
+            outputs=[body_f],
+        )
+        body_q, body_qd = ref_integrate(model, params, body_q, body_qd,
+                                        np.stack(body_f), dt)
+        traj.append(body_q.copy())
+    return np.stack(traj)
+
+
+@pytest.mark.slow
+def test_trajectory_parity_laikago(laikago):
+    """330 substeps (10 mocap frames at 60 Hz) from a penetrating state with
+    PD servoing toward perturbed targets: fp32 JAX trajectory must track the
+    reference's f64 trajectory."""
+    model = laikago
+    rng = np.random.default_rng(7)
+    params = default_sim_params(model)
+    integ = SemiImplicitIntegrator(model)
+    dt, steps = 5e-4, 330
+
+    body_q, body_qd = random_state(model, rng)
+    targets = np.zeros((steps, model.n_qd))
+    targets[:, 6:] = rng.uniform(-0.3, 0.3, model.n_qd - 6)[None]
+    acts = np.zeros((steps, model.n_qd))
+
+    ref_traj = ref_trajectory(model, params, body_q, body_qd, targets, acts,
+                              dt, steps)
+
+    state = SimState(jnp.asarray(body_q, jnp.float32)[None],
+                     jnp.asarray(body_qd, jnp.float32)[None])
+    ours = [body_q]
+    tj = jnp.asarray(targets, jnp.float32)[:, None]
+    aj = jnp.asarray(acts, jnp.float32)[:, None]
+    rf = jnp.zeros((1, model.n_links, 6), jnp.float32)
+    for s in range(steps):
+        state = integ.step_only(params, state, tj[s], aj[s], rf, dt)
+        ours.append(np.array(state.body_q[0], np.float64))
+    ours = np.stack(ours)
+
+    # positions: absolute tolerance grows with rollout length (fp32 drift in
+    # a stiff system); orientations compared via quaternion dot
+    err_pos = np.abs(ours[..., :3] - ref_traj[..., :3]).max()
+    qdot = np.abs(np.sum(ours[..., 3:7] * ref_traj[..., 3:7], -1))
+    assert err_pos < 5e-3, f"max position drift {err_pos}"
+    assert qdot.min() > 1.0 - 1e-4, f"max quat angle err {np.arccos(qdot.min())}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("template", ["quad", "human"])
+def test_trajectory_parity_compound(template, request):
+    """66 substeps (2 frames) for the compound-joint templates."""
+    model = request.getfixturevalue(template)
+    rng = np.random.default_rng(11)
+    params = default_sim_params(model)
+    integ = SemiImplicitIntegrator(model)
+    dt, steps = 5e-4, 66
+
+    body_q, body_qd = random_state(model, rng)
+    targets = np.zeros((steps, model.n_qd))
+    targets[:, 6:] = rng.uniform(-0.2, 0.2, model.n_qd - 6)[None]
+    acts = np.zeros((steps, model.n_qd))
+
+    ref_traj = ref_trajectory(model, params, body_q, body_qd, targets, acts,
+                              dt, steps)
+
+    state = SimState(jnp.asarray(body_q, jnp.float32)[None],
+                     jnp.asarray(body_qd, jnp.float32)[None])
+    ours = [body_q]
+    tj = jnp.asarray(targets, jnp.float32)[:, None]
+    aj = jnp.asarray(acts, jnp.float32)[:, None]
+    rf = jnp.zeros((1, model.n_links, 6), jnp.float32)
+    for s in range(steps):
+        state = integ.step_only(params, state, tj[s], aj[s], rf, dt)
+        ours.append(np.array(state.body_q[0], np.float64))
+    ours = np.stack(ours)
+
+    err_pos = np.abs(ours[..., :3] - ref_traj[..., :3]).max()
+    qdot = np.abs(np.sum(ours[..., 3:7] * ref_traj[..., 3:7], -1))
+    assert err_pos < 5e-3, f"max position drift {err_pos}"
+    assert qdot.min() > 1.0 - 2e-4, f"max quat angle err {np.arccos(qdot.min())}"
