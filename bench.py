@@ -5,8 +5,10 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 north-star target (BASELINE.md). Runs on whatever accelerator jax sees
 (the driver runs it on a real TPU chip).
 
-The workload matches the reference's training configuration: laikago with
-full mesh-vertex ground contacts (3,848 candidate points), PD control
+The workload matches the reference's training physics: laikago ground
+contacts (default 'hull' candidates, 1,454 points — exact while only hull
+vertices penetrate, validated by builder.validate_hull_contacts; set
+PPR_BENCH_CONTACTS=all for the reference's full 3,848-vertex set), PD control
 toward rest angles, dt=5e-4 — i.e. the same physics the reference steps
 through ~2,280 CUDA kernel launches per forward (dp_model.py:1209-1234),
 here as one scanned XLA program.
@@ -88,7 +90,10 @@ def main():
         n_iv = STEPS // INTERVAL
         tgt_s = jnp.tile(target[None], (INTERVAL, 1, 1))
         act_s = jnp.zeros((INTERVAL, E, model.n_qd))
-        kern = build_soa_rollout(integ, params, 5e-4, INTERVAL, e_tile=128)
+        kern = build_soa_rollout(
+            integ, params, 5e-4, INTERVAL,
+            e_tile=int(os.environ.get("PPR_BENCH_ETILE", "128")),
+        )
 
         def run_soa(state, n):
             for _ in range(n):
@@ -128,6 +133,32 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     STEPS = steps_eff
 
+    # ---- roofline position (VERDICT #9) --------------------------------
+    # FLOP count per substep from XLA's own cost analysis of the shared
+    # step function (the soa kernel computes the same math); utilization
+    # against the v5e VPU peak — the workload is elementwise-bound, the
+    # only MXU work is the tiny (B,B) one-hot scatters.
+    flops_per_step = None
+    try:
+        def one_step(s):
+            return integ.step_only(params, s, target, act, res, 5e-4)
+
+        ca = jax.jit(one_step).lower(state).compile().cost_analysis()
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+    util = {}
+    if flops_per_step:
+        achieved = flops_per_step * STEPS / dt  # total prog = E envs
+        # TPU v5e TensorCore VPU: 4 cores x (8x128) lanes x 2 (fma)
+        # x ~0.94 GHz ~= 7.7 TFLOP/s fp32 elementwise peak
+        vpu_peak = 7.7e12
+        util = {
+            "est_tflops": round(achieved / 1e12, 3),
+            "est_vpu_util": round(achieved / vpu_peak, 3),
+            "flops_per_env_substep": round(flops_per_step / E, 1),
+        }
+
     env_steps_per_sec = E * STEPS / dt
     print(
         json.dumps(
@@ -144,6 +175,7 @@ def main():
                     "contact_mode": CONTACT_MODE,
                     "engine": ENGINE,
                     "device": str(jax.devices()[0]),
+                    **util,
                 },
             }
         )

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from absl import app, flags
 
 flags.DEFINE_integer("local_rank", 0, "for distributed training")
-flags.DEFINE_integer("ngpu", 1, "number of devices to use")
+flags.DEFINE_integer("ngpu", -1, "device budget: -1 = all visible chips (envs dp-shard over the mesh)")
 flags.DEFINE_integer("accu_steps", 1, "gradient accumulation steps")
 flags.DEFINE_string("seqname", "mi-pace", "name of the sequence")
 flags.DEFINE_string("logroot", "logdir/", "root directory for output")

@@ -337,6 +337,24 @@ class phys_interface(phys_model):
         loss = jnp.where(outseq, 0.0, loss)
         return reduce_loss(loss)
 
+    def get_distilled_kinematics(self, steps_fr):
+        """FK-posed body trajectory of the distilled kinematics
+        (reference dp_interface.py:305-325). steps_fr: (E, S) raw frame ids
+        over the window; evaluates at the frame boundaries and returns
+        body poses (F, E*B view flattened to match the reference's
+        (nstep, bs, ...) layout as (F, E, B, 7))."""
+        from ..sim.kinematics import eval_fk
+
+        steps_fr = jnp.asarray(steps_fr)[:, self.frame2step]
+        E, F = steps_fr.shape
+        flat = steps_fr.reshape(-1)
+        droot = self._proxy_root(self.params, "kinematics_distilled", flat)
+        dja = self._proxy_ja(self.params, "kinematics_distilled", flat)
+        joint_q = jnp.concatenate([droot, dja], -1).reshape(E, F, -1)
+        body_q, _ = eval_fk(self.env, joint_q)
+        self.distilled_trajs = np.asarray(body_q[0])
+        return jnp.swapaxes(body_q, 0, 1)  # (F, E, B, 7)
+
     # -- foot height via kp links (reference :251-277) ------------------
     def get_foot_height(self, state_body_q):
         kp_idxs = [
@@ -412,13 +430,6 @@ class phys_interface(phys_model):
         if "distilled_traj" in aux:
             self.distilled_trajs = np.asarray(aux["distilled_traj"])
 
-    def get_camera(self):
-        """world-to-view matrices with the intrinsics packed into row 3
-        (reference dp_model.py:904-910)."""
-        w2v = self.world2view_vis.copy()
-        w2v[..., 3, :] = self.ks_vis
-        return w2v
-
     def query(self, img_size=None):
         data = super().query()
         if hasattr(self, "distilled_trajs"):
@@ -427,3 +438,57 @@ class phys_interface(phys_model):
             data["camera"] = self.get_camera()
             data["img_size"] = img_size
         return data
+
+
+class KinematicsProxy:
+    """Name-compatible view of a proxy parameter subtree (reference
+    dp_interface.py:328-378).
+
+    The reference's KinematicsProxy is an nn.Module holding deep copies of
+    the object/scene fields plus delta MLPs; here the copies live inside
+    ``interface.params[subtree]`` (a pytree leaf group the optimizer
+    updates), and this class exposes the reference's method surface over
+    that subtree: ``forward``/``__call__`` (root poses), ``get_joint_angles``,
+    ``override_states`` and ``override_states_inv``.
+    """
+
+    def __init__(self, interface: "phys_interface", subtree: str = "kinematics_proxy"):
+        self.interface = interface
+        self.subtree = subtree
+
+    def forward(self, x):
+        """x: (N,) raw frame ids -> (N, 7) root poses (reference :340-345)."""
+        return self.interface._proxy_root(
+            self.interface.params, self.subtree, jnp.asarray(x)
+        )
+
+    __call__ = forward
+
+    def get_joint_angles(self, x):
+        """x: (N,) raw frame ids -> (N, n_dof) (reference :374-378)."""
+        return self.interface._proxy_ja(
+            self.interface.params, self.subtree, jnp.asarray(x)
+        )
+
+    def override_states(self, object_field=None, scene_field=None):
+        """Pull fresh DR weights into the proxy (reference :347-350).
+        With no arguments, syncs from the interface's live field params."""
+        sub = self.interface.params[self.subtree]
+        sub["object_field"] = deepcopy(
+            object_field if object_field is not None
+            else self.interface.params["object_field"]
+        )
+        sub["scene_field"] = deepcopy(
+            scene_field if scene_field is not None
+            else self.interface.params["scene_field"]
+        )
+
+    def override_states_inv(self, object_field=None, scene_field=None):
+        """Push proxy weights back into the DR fields (reference :352-372).
+        Returns the (object_field, scene_field) param trees; with no
+        arguments also writes them into the interface's live field params."""
+        sub = self.interface.params[self.subtree]
+        if object_field is None and scene_field is None:
+            self.interface.params["object_field"] = deepcopy(sub["object_field"])
+            self.interface.params["scene_field"] = deepcopy(sub["scene_field"])
+        return deepcopy(sub["object_field"]), deepcopy(sub["scene_field"])

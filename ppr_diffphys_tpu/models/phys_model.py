@@ -205,6 +205,21 @@ class phys_model:
         }
         self.add_nn_modules()
 
+        # ---- device mesh (multi-chip by default) ----------------------------
+        # The reference's --ngpu flag is vestigial (SURVEY.md §2 parallelism
+        # table); here it budgets real devices: -1/0 = all visible chips.
+        # Envs are dp-sharded over ICI; opts["mesh_shape"]={"dp":..,"tp":..}
+        # additionally tensor-shards the MLP trunks.
+        ngpu = int(opts.get("ngpu", -1))
+        devs = jax.devices()
+        if ngpu > 0:
+            devs = devs[: min(ngpu, len(devs))]
+        self._devices = devs
+        ms = opts.get("mesh_shape") or {}
+        self._tp = max(1, int(ms.get("tp", 1)))
+        self._dp_cap = int(ms["dp"]) if "dp" in ms else None
+        self._mesh_cache = {}
+
         self.init_global_q()
         self.add_optimizer(opts)
 
@@ -579,9 +594,62 @@ class phys_model:
             jnp.float32
         )
 
+    def _mesh_for(self, num_envs):
+        """Device mesh for a given env count, or None for single-device.
+
+        dp = largest divisor of num_envs within the device budget (envs are
+        whole units of work — the rollout cannot split one env), tp from
+        opts["mesh_shape"]. Cached per (dp, tp).
+        """
+        from ..parallel.sharding import make_mesh
+
+        D = len(self._devices)
+        tp = self._tp if (self._tp > 1 and D % self._tp == 0) else 1
+        cap = D // tp
+        if self._dp_cap is not None:
+            cap = min(cap, self._dp_cap)
+        dp = max(
+            (d for d in range(1, cap + 1) if num_envs % d == 0), default=1
+        )
+        if dp * tp <= 1:
+            return None
+        key = (dp, tp)
+        if key not in self._mesh_cache:
+            shape = {"dp": dp, "tp": tp} if tp > 1 else {"dp": dp}
+            self._mesh_cache[key] = make_mesh(shape, self._devices)
+        return self._mesh_cache[key]
+
+    def _shardings_for(self, mesh):
+        """(param, env, replicated) NamedShardings for a mesh."""
+        from ..parallel.sharding import env_sharding, param_shardings, replicated
+
+        return param_shardings(mesh, self.params), env_sharding(mesh), replicated(mesh)
+
+    def _place_train_args(self, frame_start, key, progress, weights):
+        """Shard the train-step inputs over the mesh: env axis (frame_start)
+        over dp, params replicated over dp with MLP trunk kernels over tp.
+        SPMD propagates the input shardings through the jitted step; XLA
+        inserts the loss/grad psums over ICI. device_put is a no-op when
+        the arrays are already placed (steady state), an explicit reshard
+        otherwise (first call, after rollback/checkpoint-load)."""
+        mesh = self._mesh_for(self.num_envs)
+        if mesh is None:
+            return self.params, frame_start, key, progress, weights
+        ps, es, r = self._shardings_for(mesh)
+        self.params = jax.device_put(self.params, ps)
+        return (
+            self.params,
+            jax.device_put(frame_start, es),
+            jax.device_put(key, r),
+            jax.device_put(progress, r),
+            jax.device_put(weights, r),
+        )
+
     def _get_jit(self, kind):
         sig = (kind, self.num_envs, self.frames_per_wdw)
         if sig not in self._jit_cache:
+            _jit = jax.jit
+
             if kind == "grad":
                 def fn(params, frame_start, key, progress, weights):
                     def loss_fn(p):
@@ -607,14 +675,14 @@ class phys_model:
                     gnorm = optax.global_norm(masked)
                     return out, grads, norms, gnorm
 
-                self._jit_cache[sig] = jax.jit(fn)
+                self._jit_cache[sig] = _jit(fn)
             else:  # eval forward
                 def fn(params, frame_start, key, progress, weights):
                     return self._forward_pure(
                         params, frame_start, key, progress, weights, False
                     )
 
-                self._jit_cache[sig] = jax.jit(fn)
+                self._jit_cache[sig] = _jit(fn)
         return self._jit_cache[sig]
 
     def forward(self, frame_start=None):
@@ -629,12 +697,15 @@ class phys_model:
 
         w = self._weights_vec()
         prog = jnp.float32(self.progress)
+        params, frame_start, k2, prog, w = self._place_train_args(
+            frame_start, k2, prog, w
+        )
         if self.is_eval:
-            out, aux = self._get_jit("eval")(self.params, frame_start, k2, prog, w)
+            out, aux = self._get_jit("eval")(params, frame_start, k2, prog, w)
             self._store_eval_aux(aux)
         else:
             out, grads, norms, gnorm = self._get_jit("grad")(
-                self.params, frame_start, k2, prog, w
+                params, frame_start, k2, prog, w
             )
             self._grad_accum.append((grads, norms, gnorm))
         return out
@@ -645,6 +716,36 @@ class phys_model:
         self.pid_ref = np.asarray(aux["pid_ref"])
         self.grfs = np.asarray(aux["grf"])
         self.jafs = np.asarray(aux["jaf"])
+        self._check_hull_contacts(self.sim_trajs)
+
+    def _check_hull_contacts(self, body_q):
+        """'hull' contact candidates are exact only while no interior mesh
+        vertex crosses the ground plane (builder.validate_hull_contacts).
+        Every eval rollout is checked; on violation we fall back to the
+        reference-exact every-vertex contact set for all subsequent
+        rollouts (contact_fallback=False keeps hull mode and just warns)."""
+        if self.env.contact_mode != "hull":
+            return
+        viol = self.env.validate_hull_contacts(body_q)
+        # Margin calibrated by measurement (2026-08-16, mi-pace eval
+        # rollouts, 1255 substeps): at a 1.63 mm interior-vertex violation
+        # the hull-vs-all trajectory difference was 0.63 mm max
+        # (traj-loss diff 0.004% rel); at zero violation it is fp32 noise
+        # (3.9e-7 m). Interior vertices sit in foot concavities whose hull
+        # neighbors already carry the contact force. Default falls back at
+        # ~2x the measured-negligible depth.
+        margin = float(self.opts.get("hull_fallback_margin", 3e-3))
+        if viol <= margin:
+            return
+        print(
+            "hull-contact assumption violated (interior vertex %.4f m below "
+            "ground)" % viol
+        )
+        if self.opts.get("contact_fallback", True):
+            print("falling back to contact_mode='all' (reference-exact)")
+            self.env.make_ground_contacts("all")
+            self.integrator = SemiImplicitIntegrator(self.env)
+            self._jit_cache.clear()
 
     def backward(self, loss):
         """No-op bridge: gradients were produced in forward()."""
@@ -766,10 +867,12 @@ class phys_model:
 
         self._apply_jit = jax.jit(apply)
 
-    def update(self):
-        """Aggregate accumulated grads, run grad safety, apply the
-        optimizer (reference update/check_grad, dp_model.py:511-516,
-        :936-999)."""
+    def check_grad(self, thresh=10.0):
+        """Reference-named grad-safety entry (dp_model.py:936-999):
+        aggregate the accumulated gradients, run the grad-norm rollback and
+        per-parameter median-queue clipping, and stage the surviving
+        (grads, scales) for update(). Returns the grad-statistics dict
+        ({} when the step was rolled back)."""
         assert self._grad_accum, "forward() must run before update()"
         n = len(self._grad_accum)
         grads = jax.tree.map(
@@ -785,10 +888,34 @@ class phys_model:
         norms = {k: float(v) for k, v in norms.items()}
         self._grad_accum = []
 
-        grad_dict = self.check_grad_dict(grads, norms, gnorm)
-        if grad_dict is None:
+        res = self.check_grad_dict(grads, norms, gnorm, thresh)
+        if res is None:
+            self._pending_update = None
             return {}
-        scales, grad_dict = grad_dict
+        scales, grad_dict = res
+        self._pending_update = (grads, scales)
+        return grad_dict
+
+    def update(self):
+        """Grad safety then optimizer apply (reference update,
+        dp_model.py:511-516)."""
+        grad_dict = self.check_grad()
+        if not getattr(self, "_pending_update", None):
+            return grad_dict
+        grads, scales = self._pending_update
+        self._pending_update = None
+        mesh = self._mesh_for(self.num_envs)
+        if mesh is not None:
+            # canonical placement: grads come out of the sharded train step
+            # with XLA-chosen layouts; params may be host arrays right
+            # after a rollback. Recommitting everything to the parameter
+            # shardings keeps the apply jit single-specialization.
+            ps, _, r = self._shardings_for(mesh)
+            grads = jax.device_put(grads, ps)
+            self.params = jax.device_put(self.params, ps)
+            self.opt_state = jax.device_put(
+                self.opt_state, jax.tree.map(lambda _: r, self.opt_state)
+            )
         self.params, self.opt_state = self._apply_jit(
             self.params, self.opt_state, grads, scales
         )
@@ -829,6 +956,25 @@ class phys_model:
             else:
                 q.append(g)
         return scales, grad_dict
+
+    def get_camera(self):
+        """world-to-view matrices with the intrinsics packed into row 3
+        (reference dp_model.py:904-910). The vis matrices are produced by
+        the lab4d-mode eval forward (interface._store_eval_aux)."""
+        w2v = self.world2view_vis.copy()
+        w2v[..., 3, :] = self.ks_vis
+        return w2v
+
+    @staticmethod
+    def rm_module_prefix(states, prefix="module"):
+        """Strip a DataParallel-style name prefix from a checkpoint dict
+        (reference dp_model.py:345-352)."""
+        out = {}
+        for name, value in states.items():
+            if name.startswith(prefix + "."):
+                name = name[len(prefix) + 1:]
+            out[name] = value
+        return out
 
     def clear_grad(self):
         self._grad_accum = []

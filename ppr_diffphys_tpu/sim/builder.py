@@ -343,6 +343,9 @@ class ArticulationModel:
         self.contact_point: Optional[np.ndarray] = None
         self.contact_dist: Optional[np.ndarray] = None
         self.contact_material: Optional[np.ndarray] = None
+        self.contact_mode: Optional[str] = None
+        self._interior_body: Optional[np.ndarray] = None
+        self._interior_point: Optional[np.ndarray] = None
 
     @property
     def contact_count(self) -> int:
@@ -372,6 +375,7 @@ class ArticulationModel:
             mode = "hull"
 
         body, point, dist, mat = [], [], [], []
+        int_body, int_point = [], []  # interior vertices excluded by 'hull'
         for s in self.shapes:
             X_p, X_q = s.xform[0:3], s.xform[3:7]
 
@@ -399,7 +403,16 @@ class ArticulationModel:
                 if mode == "hull" and len(verts) > 8:
                     from scipy.spatial import ConvexHull
 
-                    verts = verts[ConvexHull(verts).vertices]
+                    hull_idx = ConvexHull(verts).vertices
+                    interior = np.setdiff1d(np.arange(len(verts)), hull_idx)
+                    # keep the excluded vertices for runtime validation:
+                    # hull contacts are exact only while no interior vertex
+                    # crosses the ground plane (see validate_hull_contacts)
+                    for v in verts[interior]:
+                        p_body = X_p + _quat_rotate_np(X_q, np.asarray(v, np.float64))
+                        int_body.append(s.body)
+                        int_point.append(p_body)
+                    verts = verts[hull_idx]
                     if eps is not None:
                         # voxel-cluster: one representative (mean) per cell
                         keys = np.floor(verts / eps).astype(np.int64)
@@ -416,7 +429,38 @@ class ArticulationModel:
         self.contact_point = np.asarray(np.stack(point, 0), np.float32)
         self.contact_dist = np.asarray(dist, np.float32)
         self.contact_material = np.asarray(np.stack(mat, 0), np.float32)
+        self.contact_mode = mode
+        if int_body:
+            self._interior_body = np.asarray(int_body, np.int32)
+            self._interior_point = np.stack(int_point, 0).astype(np.float32)
+        else:
+            self._interior_body = None
+            self._interior_point = None
         return self
+
+    def validate_hull_contacts(self, body_q, margin=0.0):
+        """Worst ground violation of the interior vertices 'hull' mode
+        dropped, over a trajectory (host numpy; cheap).
+
+        Hull contacts are exact while only hull vertices penetrate the
+        plane: any interior vertex is a convex combination of hull vertices
+        and so is never the *lowest* point, but once one crosses the plane
+        it would have contributed contact force in 'all' mode. This check
+        makes the equivalence assumption observable at runtime.
+
+        body_q: (..., B, 7) trajectory states (numpy or device array).
+        Returns max(0, -(min interior-vertex height) - margin); 0.0 when
+        the hull assumption held (or mode is 'all' / primitive shapes only).
+        """
+        if self._interior_body is None:
+            return 0.0
+        q = np.asarray(body_q, np.float32)
+        flat = q.reshape(-1, q.shape[-2], q.shape[-1])
+        pts = self._interior_point
+        bq = flat[:, self._interior_body]  # (N, V, 7)
+        world = bq[..., 0:3] + _quat_rotate_np(bq[..., 3:7], pts[None])
+        min_h = float(world[..., 1].min())
+        return max(0.0, -min_h - margin)
 
     def collision_mesh(self, scale_override=None) -> tuple:
         """Concatenated per-body collision meshes in body-local coords.

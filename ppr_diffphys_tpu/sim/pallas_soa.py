@@ -103,17 +103,16 @@ def _qnormalize(q):
     return tuple(q[i] * inv for i in range(4))
 
 
-def build_soa_rollout(
+def build_soa_parts(
     integrator: SemiImplicitIntegrator,
     params: SimParams,
     dt: float,
-    substeps: int,
-    e_tile: int = 128,
-    interpret: bool = False,
 ):
-    """Returns run(state, joint_target (S,E,n_qd), joint_act (S,E,n_qd))
-    -> SimState after S substeps. Residual forces assumed zero (they are
-    zeroed in the model; reference dp_model.py:529/:536)."""
+    """The reusable core of the SoA kernels: the plane-layout ``substep``
+    plus its constant arrays. Returned as (substep, const_arrays, meta);
+    const_arrays includes the four *traced* parameter arrays
+    (gains, inv_m, inertia, inv_inertia) that the differentiable wrapper
+    (pallas_soa_grad.py) exposes as custom_vjp arguments."""
     model = integrator.model
     B = model.n_links
     n_qd = model.n_qd
@@ -171,6 +170,13 @@ def build_soa_rollout(
         lo = int(np.searchsorted(cb, b, side="left"))
         hi = int(np.searchsorted(cb, b, side="right"))
         c_slices.append((lo, hi))
+    # Per-contact constants as eight (C,1) planes. These tile-pad lanes
+    # 128x in VMEM (~6 MB for laikago hull) — but lane-packing them into
+    # one (C,8) array was MEASURED 19% slower at e_tile=128 (the per-chunk
+    # per-substep lane extracts outweigh the saved storage), and the VMEM
+    # ceiling at larger e_tile is set by the double-buffered (S,n_qd,E)
+    # target/act blocks + (CHUNK,E) contact temporaries, not by these
+    # constants (Mosaic OOM trace, 2026-08-16). Plane layout it is.
     cpt = model.contact_point.T[:, :, None]  # (3,C,1)
     cdist = model.contact_dist[:, None]  # (C,1)
     cmat = model.contact_material.T[:, :, None]  # (4,C,1) ke kd kf mu
@@ -211,7 +217,6 @@ def build_soa_rollout(
         inertia=inertia,
         inv_inertia=inv_inertia,
     )
-    const_names = list(const_arrays.keys())
 
     # ---- the substep on planes ----------------------------------------
     def substep(bq, bqd, tgt, act, C):
@@ -449,6 +454,25 @@ def build_soa_rollout(
         bq_new = jnp.stack(list(new_t) + list(r1), 0)
         bqd_new = jnp.stack(list(w1) + list(v1), 0)
         return bq_new, bqd_new
+
+    meta = dict(B=B, n_qd=n_qd, dof_idx=dof_idx)
+    return substep, const_arrays, meta
+
+
+def build_soa_rollout(
+    integrator: SemiImplicitIntegrator,
+    params: SimParams,
+    dt: float,
+    substeps: int,
+    e_tile: int = 128,
+    interpret: bool = False,
+):
+    """Returns run(state, joint_target (S,E,n_qd), joint_act (S,E,n_qd))
+    -> SimState after S substeps. Residual forces assumed zero (they are
+    zeroed in the model; reference dp_model.py:529/:536)."""
+    substep, const_arrays, meta = build_soa_parts(integrator, params, dt)
+    B, n_qd = meta["B"], meta["n_qd"]
+    const_names = list(const_arrays.keys())
 
     # ---- kernel ---------------------------------------------------------
     def kernel(*refs):

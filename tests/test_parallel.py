@@ -99,3 +99,47 @@ def test_graft_dryrun():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
+
+
+def test_production_training_sharded_matches_single_device():
+    """VERDICT.md Weak #1 closure: the *production* train loop
+    (model.forward() -> model.update(), incl. optimizer apply) runs
+    dp-sharded by default when multiple devices are visible, and its loss
+    trajectory matches a single-device run.
+
+    Uses num_envs=8 over the virtual 8-CPU mesh (dp=8) vs ngpu=1.
+    """
+    from ppr_diffphys_tpu.utils.config import build_opts
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+
+    def run(ngpu):
+        opts = build_opts(
+            seqname="mi-pace", num_rounds=1, iters_per_round=3,
+            logroot="/tmp/ppr_prod_shard", logname=str(ngpu),
+            noise_std=0.0, ngpu=ngpu,
+        )
+        m = phys_model(opts, DataLoader(opts))
+        m.reinit_envs(8, frames_per_wdw=3, is_eval=False)
+        losses = []
+        for it in range(3):
+            m.set_progress(it)
+            out = m.forward()
+            m.update()
+            losses.append(float(out["total_loss"]))
+        return m, losses
+
+    m8, losses8 = run(-1)
+    # the train-step jit must actually be sharded over the 8-device mesh
+    mesh = m8._mesh_for(8)
+    assert mesh is not None and mesh.shape["dp"] == 8, mesh
+    assert any(k[0] == "grad" for k in m8._jit_cache)
+
+    m1, losses1 = run(1)
+    assert m1._mesh_for(8) is None
+    np.testing.assert_allclose(losses8, losses1, rtol=1e-4)
+    # params after 3 sharded updates match the single-device run
+    for k in ("global_q", "body_mass", "target_ke"):
+        np.testing.assert_allclose(
+            np.asarray(m8.params[k]), np.asarray(m1.params[k]), rtol=1e-4, atol=1e-6
+        )
