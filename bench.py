@@ -49,6 +49,10 @@ def main():
     # 'soa' = the VMEM-resident pallas megakernel (sim/pallas_soa.py);
     # 'xla' = the lax.scan path shared with training
     ENGINE = os.environ.get("PPR_BENCH_ENGINE", "soa")
+    # 'rollout' (default) = forward-only; 'train' = value_and_grad of a
+    # state loss through the full rollout (the training workload; soa =
+    # the differentiable pallas kernels, sim/pallas_soa_grad.py)
+    MODE = os.environ.get("PPR_BENCH_MODE", "rollout")
 
     b = ModelBuilder()
     parse_urdf(
@@ -112,7 +116,60 @@ def main():
 
         return jax.jit(run, static_argnums=1), STEPS, STEPS
 
-    if ENGINE == "soa":
+    def build_train():
+        """Training workload: value_and_grad of a state loss through the
+        rollout (gains/mass/initial-state gradients, as phys_model's
+        train step computes them)."""
+        from ppr_diffphys_tpu.sim.integrator import rollout as xla_rollout
+
+        INTERVAL = 33
+        n_iv = max(1, STEPS // INTERVAL // 3)  # keep iters ~O(100ms)
+        S = INTERVAL * n_iv + 1
+        tgt_s = jnp.tile(target[None], (S, 1, 1))
+        act_s = jnp.zeros((S, E, model.n_qd))
+        res_s = jnp.zeros((S, E, model.n_links, 6))
+        norm_I = jnp.asarray(
+            np.asarray(model.body_inertia)
+            / np.asarray(model.body_mass)[:, None, None]
+        )
+
+        if ENGINE == "soa":
+            from ppr_diffphys_tpu.sim.pallas_soa_grad import (
+                make_diff_interval, rollout_soa,
+            )
+
+            ivf = make_diff_interval(
+                integ, 5e-4, INTERVAL,
+                e_tile=int(os.environ.get("PPR_BENCH_ETILE", "128")),
+                with_res=False,
+            )
+            roll = lambda p, s: rollout_soa(
+                integ, p, s, tgt_s, act_s, res_s, 5e-4, INTERVAL,
+                interval_fn=ivf,
+            )
+        else:
+            roll = lambda p, s: xla_rollout(
+                integ, p, s, tgt_s, act_s, res_s, 5e-4, INTERVAL
+            )
+
+        def loss(ke_, kd_, mass, bq0, bqd0):
+            I = norm_I * mass[:, None, None]
+            p = params._replace(
+                body_mass=mass, body_inv_mass=1.0 / mass, body_inertia=I,
+                body_inv_inertia=jnp.linalg.inv(I),
+                joint_target_ke=ke_, joint_target_kd=kd_,
+            )
+            q_, qd_, _, _ = roll(p, SimState(bq0, bqd0))
+            return jnp.mean(q_ ** 2) + jnp.mean(qd_ ** 2)
+
+        g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
+        args = (ke, kd, jnp.asarray(model.body_mass), state.body_q, state.body_qd)
+        return (lambda s, n: g(*args)), 1, S
+
+    if MODE == "train":
+        run_jit, n_intervals, steps_eff = build_train()
+        jax.block_until_ready(run_jit(state, n_intervals))
+    elif ENGINE == "soa":
         run_jit, n_intervals, steps_eff = build_soa()
         try:  # warmup + compile; fall back to XLA if pallas cannot compile
             jax.block_until_ready(run_jit(state, n_intervals))
@@ -120,7 +177,7 @@ def main():
             print("soa engine failed (%s); falling back to xla" % type(e).__name__,
                   file=sys.stderr)
             ENGINE = "xla"
-    if ENGINE != "soa":
+    if MODE != "train" and ENGINE != "soa":
         run_jit, n_intervals, steps_eff = build_xla()
         jax.block_until_ready(run_jit(state, n_intervals))
 
@@ -128,8 +185,10 @@ def main():
     reps = 3
     s = state
     for _ in range(reps):
-        s = run_jit(s, n_intervals)
-    jax.block_until_ready(s)
+        out = run_jit(s, n_intervals)
+        if MODE != "train":
+            s = out
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     STEPS = steps_eff
 
@@ -163,7 +222,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched_%s_rollout_throughput" % os.path.basename(urdf).split(".")[0],
+                "metric": "batched_%s_%s_throughput" % (
+                    os.path.basename(urdf).split(".")[0],
+                    "training" if MODE == "train" else "rollout",
+                ),
                 "value": round(env_steps_per_sec, 1),
                 "unit": "env-steps/sec",
                 "vs_baseline": round(env_steps_per_sec / 1e6, 3),
@@ -174,6 +236,7 @@ def main():
                     "contacts": int(model.contact_count),
                     "contact_mode": CONTACT_MODE,
                     "engine": ENGINE,
+                    "mode": MODE,
                     "device": str(jax.devices()[0]),
                     **util,
                 },

@@ -502,11 +502,29 @@ class phys_model:
 
         # gradient scrubbing at the rollout boundary (reference
         # remove_nan/clamp, dp_model.py:1294-1384)
-        sim_q, sim_qd, grfs, jafs = rollout(
-            self.integrator, self._sim_params(params, joint_X_p=xp), state0,
-            scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
-            self.dt, sub,
-        )
+        engine = self.opts.get("phys_engine", "xla")
+        if engine == "soa" and xp is None:
+            # differentiable pallas megakernel path (pallas_soa_grad):
+            # one VMEM-resident kernel per frame interval, forward and
+            # backward. (The lab4d live joint_X_p override is traced
+            # per-env state the kernel bakes as a constant — that path
+            # stays on XLA.) The interval fn must be built OUTSIDE the
+            # trace (_soa_interval) — its kernel closes over constant
+            # arrays that must not be tracers.
+            from ..sim.pallas_soa_grad import rollout_soa
+
+            sim_q, sim_qd, grfs, jafs = rollout_soa(
+                self.integrator, self._sim_params(params), state0,
+                scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
+                self.dt, sub,
+                interval_fn=self._soa_interval(),
+            )
+        else:
+            sim_q, sim_qd, grfs, jafs = rollout(
+                self.integrator, self._sim_params(params, joint_X_p=xp), state0,
+                scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
+                self.dt, sub,
+            )
         # (F, E, B, x) -> (E, F, B, x)
         sim_position = sim_q.transpose(1, 0, 2, 3)
         sim_velocity = swap_lin_ang(sim_qd.transpose(1, 0, 2, 3))
@@ -645,10 +663,36 @@ class phys_model:
             jax.device_put(weights, r),
         )
 
+    def _soa_interval(self):
+        """Build (and cache) the differentiable pallas frame-interval
+        kernel for the current integrator. Must run on the host, outside
+        any jit trace — the kernel body closes over constant arrays that
+        would otherwise be captured as tracers."""
+        from ..sim.pallas_soa_grad import make_diff_interval
+
+        key = (id(self.integrator), self.steps_per_fr_interval)
+        cache = getattr(self, "_soa_cache", None)
+        if cache is None:
+            cache = self._soa_cache = {}
+        if key not in cache:
+            cache[key] = make_diff_interval(
+                self.integrator, self.dt, self.steps_per_fr_interval,
+                e_tile=int(self.opts.get("soa_e_tile", 128)),
+                interpret=jax.default_backend() == "cpu",
+                # residual forces are structurally zero in every reference
+                # configuration (dp_model.py:529/:536) — omitting their
+                # VMEM buffers is what lets e_tile=128 fit; set
+                # soa_with_res for a config that actually drives res_f
+                with_res=bool(self.opts.get("soa_with_res", False)),
+            )
+        return cache[key]
+
     def _get_jit(self, kind):
         sig = (kind, self.num_envs, self.frames_per_wdw)
         if sig not in self._jit_cache:
             _jit = jax.jit
+            if self.opts.get("phys_engine", "xla") == "soa":
+                self._soa_interval()  # pre-build on host, outside the trace
 
             if kind == "grad":
                 def fn(params, frame_start, key, progress, weights):

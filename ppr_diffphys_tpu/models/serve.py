@@ -48,11 +48,15 @@ class RolloutServer:
         E = self.num_envs
 
         if self.engine == "soa":
-            from ..sim.pallas_soa import build_soa_rollout
+            # whole-window single-kernel rollout: one pallas program per
+            # window, state in VMEM across all frames (no per-frame
+            # kernel-call unroll)
+            from ..sim.pallas_soa import build_soa_window
 
-            kern = build_soa_rollout(
-                m.integrator, m._sim_params(m.params), m.dt, sub,
+            kern = build_soa_window(
+                m.integrator, m._sim_params(m.params), m.dt, sub, F,
                 e_tile=min(self.e_tile, E),
+                interpret=jax.default_backend() == "cpu",
             )
         else:
             kern = None
@@ -75,25 +79,24 @@ class RolloutServer:
             ).transpose(1, 0, 2)  # (S, E, n_qd)
             act = jnp.zeros_like(ref)
 
-            frames_q = [state.body_q]
             if kern is not None:
-                for f in range(F - 1):
-                    s0 = f * sub
-                    state = kern(state, ref[s0 : s0 + sub], act[s0 : s0 + sub])
-                    frames_q.append(state.body_q)
-            else:
-                res = jnp.zeros((E, m.n_links, 6))
+                body_q, _, _, _ = kern(state, ref, act)
+                return body_q  # (F, E, B, 7)
 
-                def step(s, x):
-                    t = x
-                    return m.integrator.step_only(
-                        m._sim_params(params), s, t, t * 0, res, m.dt
-                    ), None
+            # XLA fallback: scan per frame interval
+            res = jnp.zeros((E, m.n_links, 6))
 
-                for f in range(F - 1):
-                    s0 = f * sub
-                    state, _ = jax.lax.scan(step, state, ref[s0 : s0 + sub])
-                    frames_q.append(state.body_q)
+            def step(s, x):
+                t = x
+                return m.integrator.step_only(
+                    m._sim_params(params), s, t, t * 0, res, m.dt
+                ), None
+
+            frames_q = [state.body_q]
+            for f in range(F - 1):
+                s0 = f * sub
+                state, _ = jax.lax.scan(step, state, ref[s0 : s0 + sub])
+                frames_q.append(state.body_q)
             return jnp.stack(frames_q, 0)  # (F, E, B, 7)
 
         return jax.jit(fn)

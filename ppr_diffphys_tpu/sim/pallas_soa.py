@@ -103,16 +103,102 @@ def _qnormalize(q):
     return tuple(q[i] * inv for i in range(4))
 
 
-def build_soa_parts(
+def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
+    """Penalty-contact force/torque of one static contact chunk, reduced
+    onto its body: (neg torque (1,E) x3, neg force (1,E) x3).
+
+    qb/tb/wb/vb: (1,E) plane tuples of the body state; com_b (1,E) x3;
+    pt (cb,1) x3; dist (cb,1); mat = (ke, kd, kf, mu) each (cb,1).
+    Pure function of its inputs — the backward kernel wraps it in
+    jax.checkpoint so the (cb,E) intermediates are recomputed during the
+    in-kernel reverse sweep instead of being held as vjp residuals
+    (they would otherwise dominate VMEM: ~20 live (C,E) planes/substep).
+    """
+    ke, kd, kf, mu = mat
+    com_w = _add3(tb, _qrot(qb, com_b))  # (1,E)
+    cp = _add3(_qrot(qb, pt), tb)  # (cb,E)
+    cp = (cp[0], cp[1] - dist, cp[2])  # thickness, n=(0,1,0)
+    r = _sub3(cp, com_w)
+    dpdt = _add3(vb, _cross(wb, r))
+
+    c = cp[1]
+    active = (c < 0.0).astype(F32)
+    vn = dpdt[1]
+    vt = (dpdt[0], dpdt[1] - vn, dpdt[2])
+    fn = c * ke
+    fd = jnp.minimum(vn, 0.0) * kd
+    vt_len = jnp.sqrt(_dot3(vt, vt) + 1e-12)
+    ft_mag = jnp.minimum(kf * vt_len, -mu * (fn + fd))
+    ft = _scale(vt, ft_mag / vt_len)
+    f_tot = (ft[0], (fn + fd) + ft[1], ft[2])
+    f_tot = tuple(
+        jnp.clip(f_tot[k] * active, -500.0, 500.0) for k in range(3)
+    )
+    t_tot = _cross(r, f_tot)
+    # atomic_sub sign + reduce over the chunk's contacts
+    return (
+        tuple(-jnp.sum(t_tot[k], 0, keepdims=True) for k in range(3)),
+        tuple(-jnp.sum(f_tot[k], 0, keepdims=True) for k in range(3)),
+    )
+
+
+TRACED_NAMES = ("gains", "inv_m", "inertia", "inv_inertia")
+
+
+def traced_planes(model, params: SimParams):
+    """The four per-call (traced) parameter arrays in plane layout.
+
+    Differentiable jnp transforms — the custom-vjp wrapper in
+    pallas_soa_grad.py takes these as explicit arguments so ``jax.grad``
+    flows back to SimParams. Handles both shared params
+    (``joint_target_ke (n_qd,)`` -> lane-1 planes) and per-env params
+    (``(E, n_qd)`` -> lane-E planes; system-ID sweeps)."""
+    B = model.n_links
+    n_qd = model.n_qd
+    dof_idx = np.clip(
+        model.joint_qd_start[:, None] + np.arange(3)[None, :], 0, n_qd - 1
+    )
+    ke, kd = params.joint_target_ke, params.joint_target_kd
+    if ke.ndim == 1:
+        ke3 = jnp.stack([ke[dof_idx[:, k]] for k in range(3)])  # (3,B)
+        kd3 = jnp.stack([kd[dof_idx[:, k]] for k in range(3)])
+        gains = jnp.stack([ke3, kd3])[..., None]  # (2,3,B,1)
+    else:  # (E, n_qd)
+        ke3 = jnp.stack([ke[:, dof_idx[:, k]].T for k in range(3)])  # (3,B,E)
+        kd3 = jnp.stack([kd[:, dof_idx[:, k]].T for k in range(3)])
+        gains = jnp.stack([ke3, kd3])  # (2,3,B,E)
+    im = params.body_inv_mass
+    inv_m = im[:, None] if im.ndim == 1 else im.T  # (B,1) | (B,E)
+    if params.body_inertia.ndim == 3:
+        inertia = params.body_inertia.transpose(1, 2, 0)[..., None]  # (3,3,B,1)
+        inv_inertia = params.body_inv_inertia.transpose(1, 2, 0)[..., None]
+    else:  # (E,B,3,3)
+        inertia = params.body_inertia.transpose(2, 3, 1, 0)  # (3,3,B,E)
+        inv_inertia = params.body_inv_inertia.transpose(2, 3, 1, 0)
+    return dict(
+        gains=jnp.asarray(gains, F32),
+        inv_m=jnp.asarray(inv_m, F32),
+        inertia=jnp.asarray(inertia, F32),
+        inv_inertia=jnp.asarray(inv_inertia, F32),
+    )
+
+
+def build_soa_static(
     integrator: SemiImplicitIntegrator,
-    params: SimParams,
     dt: float,
+    contact_chunk: int = 384,
 ):
     """The reusable core of the SoA kernels: the plane-layout ``substep``
-    plus its constant arrays. Returned as (substep, const_arrays, meta);
-    const_arrays includes the four *traced* parameter arrays
-    (gains, inv_m, inertia, inv_inertia) that the differentiable wrapper
-    (pallas_soa_grad.py) exposes as custom_vjp arguments."""
+    plus its *static* (trace-time numpy) constant arrays. The four traced
+    parameter planes (TRACED_NAMES, from :func:`traced_planes`) must be
+    merged into the const dict ``C`` by the caller per invocation.
+
+    ``meta`` additionally carries the split pieces the grad kernel's
+    hand-scheduled backward needs: ``contact_rows`` (chunked contact
+    reduction), ``contact_bwd`` (its chunk-at-a-time transpose, emitted
+    depth-first so chunk residuals never accumulate in VMEM), and
+    ``substep_rest`` (joints + integrate given contact row forces).
+    """
     model = integrator.model
     B = model.n_links
     n_qd = model.n_qd
@@ -181,18 +267,28 @@ def build_soa_parts(
     cdist = model.contact_dist[:, None]  # (C,1)
     cmat = model.contact_material.T[:, :, None]  # (4,C,1) ke kd kf mu
 
+    # Lane-major uniform per-body blocks for the grad kernel's fori_loop
+    # contact transpose: (B, Cm) rows, body b's contacts in row b, padded
+    # with points 1e6 above the ground (inactive -> zero force AND zero
+    # gradient). Lane-major keeps them tiny in VMEM (~131 KB vs the 6 MB
+    # sublane-major planes); the loop transposes one (1,Cm) row per body.
+    counts = [hi - lo for lo, hi in c_slices]
+    Cm = max(8, int(-(-max(counts + [1]) // 8) * 8))  # max count, 8-aligned
+    cpt_bm = np.zeros((3, B, Cm), np.float32)
+    cpt_bm[1] = 1e6
+    cdist_bm = np.zeros((B, Cm), np.float32)
+    cmat_bm = np.zeros((4, B, Cm), np.float32)
+    for b in range(B):
+        lo, hi = c_slices[b]
+        n = hi - lo
+        cpt_bm[:, b, :n] = model.contact_point[lo:hi].T
+        cdist_bm[b, :n] = model.contact_dist[lo:hi]
+        cmat_bm[:, b, :n] = model.contact_material[lo:hi].T
+
     gx, gy, gz = [float(g) for g in model.gravity]
     attach_ke = float(model.joint_attach_ke)
     attach_kd = float(model.joint_attach_kd)
     ang_damp = 0.01
-
-    # ---- traced per-call constants (computed outside, passed in) -------
-    ke3 = jnp.stack([params.joint_target_ke[dof_idx[:, k]] for k in range(3)])
-    kd3 = jnp.stack([params.joint_target_kd[dof_idx[:, k]] for k in range(3)])
-    gains = jnp.stack([ke3, kd3])[..., None]  # (2,3,B,1)
-    inv_m = params.body_inv_mass[:, None]  # (B,1)
-    inertia = params.body_inertia.transpose(1, 2, 0)[..., None]  # (3,3,B,1)
-    inv_inertia = params.body_inv_inertia.transpose(1, 2, 0)[..., None]
 
     const_arrays = dict(
         P_gather=jnp.asarray(P_gather),
@@ -212,73 +308,159 @@ def build_soa_parts(
         cpt=jnp.asarray(cpt),
         cdist=jnp.asarray(cdist),
         cmat=jnp.asarray(cmat),
-        gains=gains,
-        inv_m=inv_m,
-        inertia=inertia,
-        inv_inertia=inv_inertia,
+        cpt_bm=jnp.asarray(cpt_bm),
+        cdist_bm=jnp.asarray(cdist_bm),
+        cmat_bm=jnp.asarray(cmat_bm),
     )
 
     # ---- the substep on planes ----------------------------------------
-    def substep(bq, bqd, tgt, act, C):
-        """bq (7,B,E), bqd (6,B,E), tgt/act (n_qd,E), C = dict of consts."""
-        t_c = (bq[0], bq[1], bq[2])
-        q_c = (bq[3], bq[4], bq[5], bq[6])
-        w_c = (bqd[0], bqd[1], bqd[2])
-        v_c = (bqd[3], bqd[4], bqd[5])
+    def _body_chunk_args(bq, bqd, C, b):
+        qb = tuple(bq[3 + k][b : b + 1] for k in range(4))  # (1,E)
+        tb = tuple(bq[k][b : b + 1] for k in range(3))
+        wb = tuple(bqd[k][b : b + 1] for k in range(3))
+        vb = tuple(bqd[3 + k][b : b + 1] for k in range(3))
+        com_b = tuple(C["com"][k, b : b + 1] for k in range(3))
+        return qb, tb, wb, vb, com_b
+
+    def _chunk_consts(C, c0, c1):
+        pt = tuple(C["cpt"][k, c0:c1] for k in range(3))  # (cb,1)
+        dist = C["cdist"][c0:c1]
+        mat = tuple(C["cmat"][k, c0:c1] for k in range(4))
+        return pt, dist, mat
+
+    def contact_rows(bq, bqd, C):
+        """Chunked per-body contact reduction -> torque/force row planes
+        ((B,E) x3, (B,E) x3)."""
         E = bq.shape[-1]
-
-        body_f_t = [jnp.zeros((B, E), F32)] * 3  # torque accumulator
-        body_f_f = [jnp.zeros((B, E), F32)] * 3  # force accumulator
-
-        # ===== contacts: per-body static blocks, chunked for VMEM =======
-        CHUNK = 384
+        CHUNK = contact_chunk
         rows_t = {0: [], 1: [], 2: []}
         rows_f = {0: [], 1: [], 2: []}
         for b in range(B):
             lo, hi = c_slices[b]
             acc_t = [jnp.zeros((1, E), F32) for _ in range(3)]
             acc_f = [jnp.zeros((1, E), F32) for _ in range(3)]
-            qb = tuple(q_c[k][b : b + 1] for k in range(4))  # (1,E)
-            tb = tuple(t_c[k][b : b + 1] for k in range(3))
-            wb = tuple(w_c[k][b : b + 1] for k in range(3))
-            vb = tuple(v_c[k][b : b + 1] for k in range(3))
-            com_b = tuple(C["com"][k, b : b + 1] for k in range(3))
-            com_w = _add3(tb, _qrot(qb, com_b))  # (1,E)
+            qb, tb, wb, vb, com_b = _body_chunk_args(bq, bqd, C, b)
             for c0 in range(lo, hi, CHUNK):
                 c1 = min(c0 + CHUNK, hi)
-                pt = tuple(C["cpt"][k, c0:c1] for k in range(3))  # (cb,1)
-                dist = C["cdist"][c0:c1]
-                ke, kd, kf, mu = (C["cmat"][k, c0:c1] for k in range(4))
-
-                cp = _add3(_qrot(qb, pt), tb)  # (cb,E)
-                cp = (cp[0], cp[1] - dist, cp[2])  # thickness, n=(0,1,0)
-                r = _sub3(cp, com_w)
-                dpdt = _add3(vb, _cross(wb, r))
-
-                c = cp[1]
-                active = (c < 0.0).astype(F32)
-                vn = dpdt[1]
-                vt = (dpdt[0], dpdt[1] - vn, dpdt[2])
-                fn = c * ke
-                fd = jnp.minimum(vn, 0.0) * kd
-                vt_len = jnp.sqrt(_dot3(vt, vt) + 1e-12)
-                ft_mag = jnp.minimum(kf * vt_len, -mu * (fn + fd))
-                ft = _scale(vt, ft_mag / vt_len)
-                f_tot = (ft[0], (fn + fd) + ft[1], ft[2])
-                f_tot = tuple(
-                    jnp.clip(f_tot[k] * active, -500.0, 500.0) for k in range(3)
-                )
-                t_tot = _cross(r, f_tot)
+                pt, dist, mat = _chunk_consts(C, c0, c1)
+                dt_, df_ = _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat)
                 for k in range(3):
-                    # atomic_sub sign + reduce over the body's contacts
-                    acc_t[k] = acc_t[k] - jnp.sum(t_tot[k], 0, keepdims=True)
-                    acc_f[k] = acc_f[k] - jnp.sum(f_tot[k], 0, keepdims=True)
+                    acc_t[k] = acc_t[k] + dt_[k]
+                    acc_f[k] = acc_f[k] + df_[k]
             for k in range(3):
                 rows_t[k].append(acc_t[k])
                 rows_f[k].append(acc_f[k])
+        con_t = tuple(jnp.concatenate(rows_t[k], 0) for k in range(3))
+        con_f = tuple(jnp.concatenate(rows_f[k], 0) for k in range(3))
+        return con_t, con_f
+
+    def contact_rows_loop(bq, bqd, C):
+        """contact_rows as a fori_loop over bodies using only the tiny
+        lane-major (B,Cm) constant blocks — the grad kernel's forward
+        sweep uses this so the 6 MB sublane-major planes never enter
+        that kernel's VMEM. Returns ((B,E) x3, (B,E) x3) like
+        contact_rows."""
+        E = bq.shape[-1]
+
+        def body_fn(b, carry):
+            t_acc, f_acc = carry  # (3,B,E) each
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) == b
+            ).astype(F32)
+            row = lambda plane: _mm(onehot, plane)
+            tr = lambda r: jnp.transpose(r, (1, 0))
+            qb = tuple(row(bq[3 + k]) for k in range(4))
+            tb = tuple(row(bq[k]) for k in range(3))
+            wb = tuple(row(bqd[k]) for k in range(3))
+            vb = tuple(row(bqd[3 + k]) for k in range(3))
+            com_b = tuple(row(C["com"][k]) for k in range(3))
+            pt = tuple(tr(row(C["cpt_bm"][k])) for k in range(3))
+            dist = tr(row(C["cdist_bm"]))
+            mat = tuple(tr(row(C["cmat_bm"][k])) for k in range(4))
+            dt_, df_ = _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat)
+            oh_col = tr(onehot)[None]  # (1,B,1)
+            t_acc = t_acc + oh_col * jnp.concatenate(list(dt_), 0)[:, None]
+            f_acc = f_acc + oh_col * jnp.concatenate(list(df_), 0)[:, None]
+            return t_acc, f_acc
+
+        zero = jnp.zeros((3, B, E), F32)
+        t_acc, f_acc = jax.lax.fori_loop(0, B, body_fn, (zero, zero))
+        return tuple(t_acc[k] for k in range(3)), tuple(f_acc[k] for k in range(3))
+
+    def contact_bwd(bq, bqd, C, d_rows_t, d_rows_f):
+        """Transpose of contact_rows as a ``fori_loop`` over bodies.
+
+        One loop iteration recomputes body b's (padded, lane-major)
+        contact block and runs its chunk vjp — the loop boundary bounds
+        live VMEM to ONE body's (Cm,E) intermediates. (An unrolled
+        python-loop transpose was measured at 38-42 MB scoped VMEM vs the
+        16 MB v5e budget: Mosaic keeps every chunk's vjp residuals on the
+        stack simultaneously.) Per-contact constants come from the tiny
+        lane-major (B,Cm) blocks, transposed one row at a time in-kernel.
+        Returns cotangents (d_bq (7,B,E), d_bqd (6,B,E))."""
+        E = bq.shape[-1]
+
+        def body_fn(b, carry):
+            # row extraction by one-hot matmul (lax.dynamic_slice on
+            # *values* does not lower in Mosaic; refs aren't available
+            # here) — MXU work, deterministic
+            dbq_acc, dbqd_acc = carry
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) == b
+            ).astype(F32)  # (1,B)
+            row = lambda plane: _mm(onehot, plane)  # (1,X)
+            tr = lambda r: jnp.transpose(r, (1, 0))  # (1,Cm)->(Cm,1)
+            qb = tuple(row(bq[3 + k]) for k in range(4))
+            tb = tuple(row(bq[k]) for k in range(3))
+            wb = tuple(row(bqd[k]) for k in range(3))
+            vb = tuple(row(bqd[3 + k]) for k in range(3))
+            com_b = tuple(row(C["com"][k]) for k in range(3))
+            pt = tuple(tr(row(C["cpt_bm"][k])) for k in range(3))
+            dist = tr(row(C["cdist_bm"]))
+            mat = tuple(tr(row(C["cmat_bm"][k])) for k in range(4))
+
+            _, vjp = jax.vjp(
+                lambda qb, tb, wb, vb, com_b: _chunk_force(
+                    qb, tb, wb, vb, com_b, pt, dist, mat
+                ),
+                qb, tb, wb, vb, com_b,
+            )
+            ct = (
+                tuple(row(d_rows_t[k]) for k in range(3)),
+                tuple(row(d_rows_f[k]) for k in range(3)),
+            )
+            g = vjp(ct)
+            upd_q = jnp.concatenate(list(g[1]) + list(g[0]), 0)[:, None]  # (7,1,E)
+            upd_qd = jnp.concatenate(list(g[2]) + list(g[3]), 0)[:, None]
+            oh_col = tr(onehot)[None]  # (1,B,1)
+            return dbq_acc + oh_col * upd_q, dbqd_acc + oh_col * upd_qd
+
+        zero_q = jnp.zeros((7, B, E), F32)
+        zero_qd = jnp.zeros((6, B, E), F32)
+        return jax.lax.fori_loop(0, B, body_fn, (zero_q, zero_qd))
+
+    def substep_rest(bq, bqd, tgt, act, C, con_t, con_f, res=None, want_obs=False):
+        """Joints + symplectic Euler given precomputed contact row forces.
+        Same semantics as the reference's post-contact pipeline
+        (integrator_euler.py:289-451 + :21-91)."""
+        t_c = (bq[0], bq[1], bq[2])
+        q_c = (bq[3], bq[4], bq[5], bq[6])
+        w_c = (bqd[0], bqd[1], bqd[2])
+        v_c = (bqd[3], bqd[4], bqd[5])
+        E = bq.shape[-1]
+
+        if res is None:
+            body_f_t = [jnp.zeros((B, E), F32)] * 3  # torque accumulator
+            body_f_f = [jnp.zeros((B, E), F32)] * 3  # force accumulator
+        else:
+            body_f_t = [res[k] for k in range(3)]
+            body_f_f = [res[3 + k] for k in range(3)]
+
         for k in range(3):
-            body_f_t[k] = body_f_t[k] + jnp.concatenate(rows_t[k], 0)
-            body_f_f[k] = body_f_f[k] + jnp.concatenate(rows_f[k], 0)
+            body_f_t[k] = body_f_t[k] + con_t[k]
+            body_f_f[k] = body_f_f[k] + con_f[k]
+        if want_obs:
+            grf_planes = list(body_f_t) + list(body_f_f)  # post-contact snapshot
 
         # ===== joints (vectorized over B) ===============================
         pq_t = tuple(_mm(C["P_gather"], t_c[k]) for k in range(3))
@@ -420,6 +602,10 @@ def build_soa_parts(
                 C["P_scatter"], f_tot[k] * hp
             )
 
+        if want_obs:
+            grf = jnp.stack(grf_planes, 0)  # (6,B,E)
+            jaf = jnp.stack(list(body_f_t) + list(body_f_f), 0) - grf
+
         # ===== integrate (symplectic Euler, reference :21-91) ===========
         x_com = _add3(t_c, _qrot(q_c, comc))
         g = (gx, gy, gz)
@@ -453,10 +639,192 @@ def build_soa_parts(
 
         bq_new = jnp.stack(list(new_t) + list(r1), 0)
         bqd_new = jnp.stack(list(w1) + list(v1), 0)
+        if want_obs:
+            return bq_new, bqd_new, grf, jaf
         return bq_new, bqd_new
 
-    meta = dict(B=B, n_qd=n_qd, dof_idx=dof_idx)
+    def substep(bq, bqd, tgt, act, C, res=None, want_obs=False):
+        """bq (7,B,E), bqd (6,B,E), tgt/act (n_qd,E), C = dict of consts
+        (static + traced planes merged), res = optional (6,B,E) residual
+        body forces in warp [torque, force] layout (reference wp_add,
+        dp_model.py:1216-1221). With ``want_obs`` also returns the grf and
+        jaf observable planes (6,B,E) with the reference's compute_forces
+        semantics (integrator_euler.py:491-551)."""
+        con_t, con_f = contact_rows(bq, bqd, C)
+        return substep_rest(
+            bq, bqd, tgt, act, C, con_t, con_f, res=res, want_obs=want_obs
+        )
+
+    meta = dict(
+        B=B, n_qd=n_qd, dof_idx=dof_idx,
+        contact_rows=contact_rows, contact_rows_loop=contact_rows_loop,
+        contact_bwd=contact_bwd, substep_rest=substep_rest,
+    )
     return substep, const_arrays, meta
+
+
+def build_soa_parts(
+    integrator: SemiImplicitIntegrator,
+    params: SimParams,
+    dt: float,
+):
+    """Back-compat combo of :func:`build_soa_static` + :func:`traced_planes`:
+    (substep, const_arrays incl. the traced planes, meta)."""
+    substep, const_arrays, meta = build_soa_static(integrator, dt)
+    const_arrays = dict(const_arrays)
+    const_arrays.update(traced_planes(integrator.model, params))
+    return substep, const_arrays, meta
+
+
+def build_soa_window(
+    integrator: SemiImplicitIntegrator,
+    params: SimParams,
+    dt: float,
+    substeps: int,
+    n_frames: int,
+    e_tile: int = 128,
+    interpret: bool = False,
+):
+    """Whole-window forward rollout as ONE pallas program (serving/eval).
+
+    Replaces the per-frame kernel-call unroll (F-1 ``pallas_call``s inside
+    one jit) with a single program: grid (E//e_tile, F-1), the frame axis
+    iterated innermost with the state carried in VMEM scratch across grid
+    steps — between frames the state never touches HBM. Emits the same
+    observables the reference snapshots at frame boundaries
+    (dp_model.py:1226-1234): the state entering each frame interval plus
+    that boundary substep's grf/jaf (compute_forces semantics,
+    integrator_euler.py:491-551).
+
+    Returns ``run(state, joint_targets (S,E,n_qd), joint_acts (S,E,n_qd))
+    -> (body_q (F,E,B,7), body_qd (F,E,B,6), grf (F,E,B,6)->(F,...),
+    jaf (F,...))`` with S = substeps*(F-1)+1; the final row uses the last
+    substep's inputs on the final state, exactly like integrator.rollout.
+    """
+    substep, const_arrays, meta = build_soa_parts(integrator, params, dt)
+    B, n_qd = meta["B"], meta["n_qd"]
+    sub = substeps
+    F = n_frames
+    const_names = list(const_arrays.keys())
+    cvals = list(const_arrays.values())
+    n_const = len(cvals)
+
+    def kernel(*refs):
+        bq0_ref, bqd0_ref, tgt_ref, act_ref, last_tgt_ref, last_act_ref = refs[:6]
+        const_refs = refs[6 : 6 + n_const]
+        (fq_ref, fqd_ref, fgrf_ref, fjaf_ref,
+         lq_ref, lqd_ref, lgrf_ref, ljaf_ref) = refs[6 + n_const : 14 + n_const]
+        sq_ref, sqd_ref = refs[14 + n_const :]
+        C = {n: r[:] for n, r in zip(const_names, const_refs)}
+        f = pl.program_id(1)
+
+        @pl.when(f == 0)
+        def _():
+            sq_ref[:] = bq0_ref[:]
+            sqd_ref[:] = bqd0_ref[:]
+
+        bq, bqd = sq_ref[:], sqd_ref[:]
+        # frame-boundary snapshot: state entering this interval
+        fq_ref[0] = bq
+        fqd_ref[0] = bqd
+        # boundary substep with observables
+        bq, bqd, grf, jaf = substep(
+            bq, bqd, tgt_ref[0, 0], act_ref[0, 0], C, want_obs=True
+        )
+        fgrf_ref[0] = grf
+        fjaf_ref[0] = jaf
+
+        def body(i, carry):
+            bq, bqd = carry
+            return substep(bq, bqd, tgt_ref[0, i], act_ref[0, i], C)
+
+        bq, bqd = jax.lax.fori_loop(1, sub, body, (bq, bqd))
+        sq_ref[:] = bq
+        sqd_ref[:] = bqd
+
+        @pl.when(f == F - 2)
+        def _():
+            lq_ref[:] = bq
+            lqd_ref[:] = bqd
+            # final-row observables: last substep's inputs on the final
+            # state (integrator.rollout's trailing simulate call)
+            _, _, grf_l, jaf_l = substep(
+                bq, bqd, last_tgt_ref[0], last_act_ref[0], C, want_obs=True
+            )
+            lgrf_ref[:] = grf_l
+            ljaf_ref[:] = jaf_l
+
+    def _spec(shape, idx_fn=None):
+        if idx_fn is None:
+            nd = len(shape)
+            idx_fn = lambda i, f, nd=nd: (0,) * nd
+        return pl.BlockSpec(shape, idx_fn, memory_space=pltpu.VMEM)
+
+    def run(state: SimState, joint_targets, joint_acts):
+        E = state.body_q.shape[0]
+        et = min(e_tile, E)
+        assert E % et == 0, (E, et)
+        S = joint_targets.shape[0]
+        assert S == sub * (F - 1) + 1, (S, sub, F)
+        grid = (E // et, F - 1)  # frame axis innermost (sequential carry)
+
+        bq = state.body_q.transpose(2, 1, 0)  # (7,B,E)
+        bqd = state.body_qd.transpose(2, 1, 0)
+        tgt = joint_targets[: S - 1].transpose(0, 2, 1).reshape(F - 1, sub, n_qd, E)
+        act = joint_acts[: S - 1].transpose(0, 2, 1).reshape(F - 1, sub, n_qd, E)
+        last_tgt = joint_targets[S - 1 :].transpose(0, 2, 1)  # (1, n_qd, E)
+        last_act = joint_acts[S - 1 :].transpose(0, 2, 1)
+
+        in_specs = [
+            _spec((7, B, et), lambda i, f: (0, 0, i)),
+            _spec((6, B, et), lambda i, f: (0, 0, i)),
+            _spec((1, sub, n_qd, et), lambda i, f: (f, 0, 0, i)),
+            _spec((1, sub, n_qd, et), lambda i, f: (f, 0, 0, i)),
+            _spec((1, n_qd, et), lambda i, f: (0, 0, i)),
+            _spec((1, n_qd, et), lambda i, f: (0, 0, i)),
+        ] + [_spec(c.shape) for c in cvals]
+        out_specs = (
+            _spec((1, 7, B, et), lambda i, f: (f, 0, 0, i)),
+            _spec((1, 6, B, et), lambda i, f: (f, 0, 0, i)),
+            _spec((1, 6, B, et), lambda i, f: (f, 0, 0, i)),
+            _spec((1, 6, B, et), lambda i, f: (f, 0, 0, i)),
+            _spec((7, B, et), lambda i, f: (0, 0, i)),
+            _spec((6, B, et), lambda i, f: (0, 0, i)),
+            _spec((6, B, et), lambda i, f: (0, 0, i)),
+            _spec((6, B, et), lambda i, f: (0, 0, i)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((F - 1, 7, B, E), F32),
+            jax.ShapeDtypeStruct((F - 1, 6, B, E), F32),
+            jax.ShapeDtypeStruct((F - 1, 6, B, E), F32),
+            jax.ShapeDtypeStruct((F - 1, 6, B, E), F32),
+            jax.ShapeDtypeStruct((7, B, E), F32),
+            jax.ShapeDtypeStruct((6, B, E), F32),
+            jax.ShapeDtypeStruct((6, B, E), F32),
+            jax.ShapeDtypeStruct((6, B, E), F32),
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((7, B, et), F32),
+                pltpu.VMEM((6, B, et), F32),
+            ],
+            interpret=interpret,
+        )(bq, bqd, tgt, act, last_tgt, last_act, *cvals)
+        fq, fqd, fgrf, fjaf, lq, lqd, lgrf, ljaf = outs
+        # (F,·,B,E) -> (F,E,B,·)
+        aos = lambda x: x.transpose(0, 3, 2, 1)
+        body_q = jnp.concatenate([aos(fq), aos(lq[None])], 0)
+        body_qd = jnp.concatenate([aos(fqd), aos(lqd[None])], 0)
+        grf = jnp.concatenate([aos(fgrf), aos(lgrf[None])], 0)
+        jaf = jnp.concatenate([aos(fjaf), aos(ljaf[None])], 0)
+        return body_q, body_qd, grf, jaf
+
+    return run
 
 
 def build_soa_rollout(

@@ -21,3 +21,9 @@ import jax  # noqa: E402
 # through the config API so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: the suite is compile-bound on small CPU
+# hosts; repeated runs hit the cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

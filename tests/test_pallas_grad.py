@@ -1,0 +1,227 @@
+"""Differentiable Pallas rollout (pallas_soa_grad) vs the XLA scan path:
+values AND gradients, in interpret mode on CPU (the real-TPU compiled
+path shares the same kernel body).
+
+Gradient semantics being pinned: the custom-VJP backward must match
+``jax.grad`` through the XLA rollout for every input the reference's
+``ForwardWarp.backward`` returns adjoints for (dp_model.py:1294-1384):
+initial state, joint targets, activations, residual forces, PD gains,
+masses (via inv_mass + inertia planes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppr_diffphys_tpu.sim.builder import ModelBuilder
+from ppr_diffphys_tpu.sim.import_urdf import parse_urdf
+from ppr_diffphys_tpu.sim.kinematics import eval_fk
+from ppr_diffphys_tpu.sim.integrator import (
+    SemiImplicitIntegrator,
+    SimParams,
+    SimState,
+    rollout,
+)
+from ppr_diffphys_tpu.sim.pallas_soa_grad import rollout_soa
+
+LAIKAGO = "/root/reference/data/urdf_templates/laikago/laikago.urdf"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = ModelBuilder()
+    parse_urdf(
+        LAIKAGO, b, xform_p=(0, 0.417, 0), floating=True, density=1000,
+        armature=0.01, stiffness=220.0, damping=2.0, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    model = b.finalize().make_ground_contacts("hull:0.1")
+    model.joint_attach_ke, model.joint_attach_kd = 16000.0, 200.0
+    integ = SemiImplicitIntegrator(model)
+    norm_I = jnp.asarray(
+        np.asarray(model.body_inertia)
+        / np.asarray(model.body_mass)[:, None, None]
+    )
+    return model, integ, norm_I
+
+
+def _problem(model, E, sub, F, seed=0):
+    S = sub * (F - 1) + 1
+    rng = np.random.RandomState(seed)
+    q = np.array(model.joint_q_init, np.float32)
+    q[7:][[2, 5, 8, 11]] = -0.8
+    qs = np.tile(q[None], (E, 1))
+    # some envs penetrating the ground -> contact branch active
+    qs[:, 1] += rng.uniform(-0.03, 0.01, E).astype(np.float32)
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    tgt = jnp.asarray(rng.randn(S, E, model.n_qd) * 0.2, jnp.float32)
+    act = jnp.asarray(rng.randn(S, E, model.n_qd) * 0.05, jnp.float32)
+    res = jnp.asarray(rng.randn(S, E, model.n_links, 6) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.randn(F, E, model.n_links, 7), jnp.float32)
+    wqd = jnp.asarray(rng.randn(F, E, model.n_links, 6), jnp.float32)
+    return body_q, body_qd, tgt, act, res, wq, wqd
+
+
+def _make_params(norm_I, ke, kd, mass):
+    I = norm_I * mass[:, None, None]
+    return SimParams(
+        body_mass=mass, body_inv_mass=1.0 / mass,
+        body_inertia=I, body_inv_inertia=jnp.linalg.inv(I),
+        joint_target_ke=ke, joint_target_kd=kd,
+    )
+
+
+def test_rollout_soa_matches_xla_values_and_grads(setup):
+    model, integ, norm_I = setup
+    E, sub, F = 4, 3, 3
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F)
+    ke0 = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    def loss(roll_fn):
+        def f(ke, kd, mass, tgt, act, res, bq0, bqd0):
+            p = _make_params(norm_I, ke, kd, mass)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, bqd0), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = loss(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    # e_tile=2 < E so the lane-1 param-grad accumulation across grid
+    # steps is exercised too
+    soa = loss(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True
+        )
+    )
+
+    args = (ke0, kd0, mass0, tgt, act, res, body_q, body_qd)
+    v1, v2 = xla(*args), soa(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+
+    g1 = jax.grad(xla, argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(soa, argnums=tuple(range(8)))(*args)
+    names = ["ke", "kd", "mass", "tgt", "act", "res", "bq0", "bqd0"]
+    for n, a, b in zip(names, g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
+def test_rollout_soa_without_res_buffers(setup):
+    """with_res=False (the production default: residual forces are
+    structurally zero, reference dp_model.py:529/:536) matches the XLA
+    path at res=0 and returns zero res cotangents."""
+    model, integ, norm_I = setup
+    E, sub, F = 4, 3, 3
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F, seed=5)
+    res = jnp.zeros_like(res)
+    ke0 = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    def mk(roll_fn):
+        def f(ke, kd, mass, tgt, act, res, bq0, bqd0):
+            p = _make_params(norm_I, ke, kd, mass)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, bqd0), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True,
+            with_res=False,
+        )
+    )
+    args = (ke0, kd0, mass0, tgt, act, res, body_q, body_qd)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=1e-4)
+    g1 = jax.grad(xla, argnums=(0, 2, 3, 6))(*args)
+    g2 = jax.grad(soa, argnums=(0, 2, 3, 6))(*args)
+    for n, a, b in zip(["ke", "mass", "tgt", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+    dres = jax.grad(soa, argnums=5)(*args)
+    assert float(jnp.abs(dres).max()) == 0.0
+
+
+def test_window_kernel_matches_rollout(setup):
+    """build_soa_window (single-program whole-window rollout, the serving
+    path) reproduces integrator.rollout's frame states AND grf/jaf
+    observables."""
+    from ppr_diffphys_tpu.sim.pallas_soa import build_soa_window
+
+    model, integ, norm_I = setup
+    E, sub, F = 4, 3, 4
+    body_q, body_qd, tgt, act, res, _, _ = _problem(model, E, sub, F, seed=9)
+    res = jnp.zeros_like(res)
+    p = _make_params(
+        norm_I,
+        jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)]),
+        jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)]),
+        jnp.asarray(model.body_mass),
+    )
+    st = SimState(body_q, body_qd)
+    q1, qd1, grf1, jaf1 = rollout(integ, p, st, tgt, act, res, 5e-4, sub)
+    kern = build_soa_window(integ, p, 5e-4, sub, F, e_tile=2, interpret=True)
+    q2, qd2, grf2, jaf2 = kern(st, tgt, act)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(grf2), np.asarray(grf1), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(jaf2), np.asarray(jaf1), atol=2e-2)
+
+
+@pytest.mark.slow
+def test_phys_model_soa_engine_matches_xla():
+    """phys_model with opts['phys_engine']='soa' produces the same losses
+    and gradients as the default XLA engine (the wired-in training path)."""
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+    from ppr_diffphys_tpu.utils.config import build_opts
+
+    outs = {}
+    for engine in ("xla", "soa"):
+        opts = build_opts(
+            seqname="mi-pace", num_rounds=1, iters_per_round=2,
+            logroot="/tmp/ppr_soa_engine_test", noise_std=0.0,
+        )
+        opts["phys_engine"] = engine
+        m = phys_model(opts, DataLoader(opts))
+        m.reinit_envs(2, frames_per_wdw=3, is_eval=False)
+        m.rng = jax.random.PRNGKey(11)
+        out = m.forward(frame_start=np.zeros(2))
+        grads, _, gnorm = m._grad_accum[-1][0], None, m._grad_accum[-1][2]
+        outs[engine] = (float(out["total_loss"]), float(gnorm))
+    l_x, g_x = outs["xla"]
+    l_s, g_s = outs["soa"]
+    np.testing.assert_allclose(l_s, l_x, rtol=2e-4)
+    np.testing.assert_allclose(g_s, g_x, rtol=2e-3)
+
+
+def test_rollout_soa_observables_match_xla(setup):
+    """grf/jaf frame observables (reference compute_forces semantics,
+    integrator_euler.py:491-551) agree between the two paths."""
+    model, integ, norm_I = setup
+    E, sub, F = 2, 3, 3
+    body_q, body_qd, tgt, act, res, _, _ = _problem(model, E, sub, F, seed=3)
+    p = _make_params(
+        norm_I,
+        jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)]),
+        jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)]),
+        jnp.asarray(model.body_mass),
+    )
+    st = SimState(body_q, body_qd)
+    q1, qd1, grf1, jaf1 = rollout(integ, p, st, tgt, act, res, 5e-4, sub)
+    q2, qd2, grf2, jaf2 = rollout_soa(
+        integ, p, st, tgt, act, res, 5e-4, sub, e_tile=2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(grf2), np.asarray(grf1), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(jaf2), np.asarray(jaf1), atol=2e-2)
