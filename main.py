@@ -42,6 +42,17 @@ flags.DEFINE_string("datadir", "/root/reference/data/motion_sequences", "mocap d
 flags.DEFINE_string("urdf_dir", "/root/reference/data/urdf_templates", "urdf dir")
 flags.DEFINE_integer("num_envs", 10, "training envs per step")
 flags.DEFINE_integer("frames_per_wdw", 24, "frames per training window")
+flags.DEFINE_boolean(
+    "ref_quirks", False,
+    "reproduce the reference's accidental training-dynamics quirks: "
+    "upper-only rollout adjoint clamp (dp_model.py:1110) and env-0 "
+    "sticky divergence threshold (dp_utils.py:99-101)")
+flags.DEFINE_boolean(
+    "wdw_schedule", False,
+    "window-length curriculum: grow frames_per_wdw from 1 to "
+    "~(total_frames-1)/2 over training with num_envs=max(1,100/frames) "
+    "(the schedule the reference left as a TODO, main.py:87-91); long "
+    "late windows train open-loop stability over eval-length horizons")
 flags.DEFINE_boolean("render_vis", True, "render per-round videos")
 flags.DEFINE_integer("seed", 0, "rng seed")
 flags.DEFINE_string("profile_dir", "", "capture a jax profiler trace of "
@@ -78,10 +89,20 @@ def main(_):
             vis.show(it, data, fps=1.0 / model.frame_interval,
                      render_video=opts["render_vis"])
 
-            model.reinit_envs(
-                opts["num_envs"], frames_per_wdw=opts["frames_per_wdw"],
-                is_eval=False,
-            )
+            if opts["wdw_schedule"]:
+                # reference main.py:87-91 (commented TODO there)
+                fpw = int(
+                    0.5 * (model.total_frames - 1) / model.total_iters * it + 1
+                )
+                fpw = max(2, min(fpw, model.total_frames))
+                n_env = max(1, int(100 / fpw))
+                print("wdw/envs: %d/%d" % (fpw, n_env))
+                model.reinit_envs(n_env, frames_per_wdw=fpw, is_eval=False)
+            else:
+                model.reinit_envs(
+                    opts["num_envs"], frames_per_wdw=opts["frames_per_wdw"],
+                    is_eval=False,
+                )
 
         if opts["profile_dir"]:
             import jax

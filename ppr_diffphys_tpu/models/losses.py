@@ -37,12 +37,19 @@ def se3_loss(pred: jnp.ndarray, gt: jnp.ndarray, rot_ratio: float = 0.1) -> jnp.
     return jnp.where(nanid, 0.0, loss)
 
 
-def reduce_loss(loss_seq: jnp.ndarray, clip: bool = False) -> jnp.ndarray:
+def reduce_loss(
+    loss_seq: jnp.ndarray, clip: bool = False, env0_th: bool = False
+) -> jnp.ndarray:
     """Masked mean over positive entries, with optional per-env divergence
     clipping: once a frame's loss exceeds 10x the env's median positive
     loss, that env's loss is zeroed from that frame on
     (reference dp_utils.py:93-110, used with clip=True for the traj loss
     only, dp_model.py:779).
+
+    env0_th reproduces the reference's accidental sticky threshold
+    (dp_utils.py:99-101: ``th`` is only computed while 0, so env 0's
+    median gates every env) — a documented training-dynamics quirk,
+    enabled by opts['ref_quirks'].
 
     loss_seq: (E, T)
     """
@@ -51,6 +58,8 @@ def reduce_loss(loss_seq: jnp.ndarray, clip: bool = False) -> jnp.ndarray:
         med = jnp.nanmedian(jnp.where(pos, loss_seq, jnp.nan), axis=1)
         med = jnp.nan_to_num(med)
         th = med * 10.0
+        if env0_th:
+            th = jnp.broadcast_to(th[0], th.shape)
         exceed = loss_seq > th[:, None]
         any_exceed = jnp.any(exceed, axis=1, keepdims=True)
         first = jnp.argmax(exceed, axis=1)[:, None]

@@ -83,6 +83,22 @@ def scrub_grad(x):
 scrub_grad.defvjp(_scrub_grad_fwd, _scrub_grad_bwd)
 
 
+def _scrub_grad_ref_bwd(_, g):
+    # reference-exact variant: NaN -> 0 and UPPER-only clamp
+    # (dp_model.py:1109-1110 / :1121-1123 do g[g.isnan()]=0; g[g>1]=1
+    # with no lower bound) — opts['ref_quirks']
+    g = jnp.nan_to_num(g, nan=0.0)
+    return (jnp.minimum(g, 1.0),)
+
+
+@jax.custom_vjp
+def scrub_grad_ref(x):
+    return x
+
+
+scrub_grad_ref.defvjp(_scrub_grad_fwd, _scrub_grad_ref_bwd)
+
+
 class phys_model:
     """Reference-compatible API (dp_model.py): __init__(opts, dataloader),
     reinit_envs, forward, backward, update, query, save/load_checkpoint,
@@ -501,7 +517,10 @@ class phys_model:
         res_f = swap_lin_ang(batch["res_f"]).transpose(1, 0, 2, 3)  # (S,E,B,6)
 
         # gradient scrubbing at the rollout boundary (reference
-        # remove_nan/clamp, dp_model.py:1294-1384)
+        # remove_nan/clamp, dp_model.py:1294-1384); ref_quirks swaps in
+        # the reference-exact upper-only adjoint clamp
+        quirks = bool(self.opts.get("ref_quirks", False))
+        scrub = scrub_grad_ref if quirks else scrub_grad
         engine = self.opts.get("phys_engine", "xla")
         if engine == "soa" and xp is None:
             # differentiable pallas megakernel path (pallas_soa_grad):
@@ -515,15 +534,19 @@ class phys_model:
 
             sim_q, sim_qd, grfs, jafs = rollout_soa(
                 self.integrator, self._sim_params(params), state0,
-                scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
+                scrub(ref_ja), scrub(torques), scrub(res_f),
                 self.dt, sub,
                 interval_fn=self._soa_interval(),
             )
         else:
             sim_q, sim_qd, grfs, jafs = rollout(
                 self.integrator, self._sim_params(params, joint_X_p=xp), state0,
-                scrub_grad(ref_ja), scrub_grad(torques), scrub_grad(res_f),
+                scrub(ref_ja), scrub(torques), scrub(res_f),
                 self.dt, sub,
+                # unroll=4 is the fast default (XLA fuses across substeps)
+                # but scales compile time with robot size; big-robot
+                # templates (quad/human) may prefer 1
+                unroll=int(self.opts.get("rollout_unroll", 4)),
             )
         # (F, E, B, x) -> (E, F, B, x)
         sim_position = sim_q.transpose(1, 0, 2, 3)
@@ -535,7 +558,7 @@ class phys_model:
         loss_dict = {}
         loss_traj = se3_loss(sim_position, target_position).mean(-1)
         loss_traj = jnp.where(outseq, 0.0, loss_traj)
-        loss_dict["traj"] = reduce_loss(loss_traj, clip=True)
+        loss_dict["traj"] = reduce_loss(loss_traj, clip=True, env0_th=quirks)
 
         loss_pos = se3_loss(
             queried_position, jax.lax.stop_gradient(sim_position)
