@@ -210,11 +210,17 @@ def main():
     if flops_per_step:
         achieved = flops_per_step * STEPS / dt  # total prog = E envs
         # TPU v5e TensorCore VPU: 4 cores x (8x128) lanes x 2 (fma)
-        # x ~0.94 GHz ~= 7.7 TFLOP/s fp32 elementwise peak
+        # x ~0.94 GHz ~= 7.7 TFLOP/s fp32 elementwise peak. NOTE: the
+        # flop count is XLA's cost analysis of the XLA step, which
+        # overcounts vs what the fused pallas kernel executes
+        # (transcendentals expand to many flops; fused ops may be
+        # eliminated) — so est_vpu_util is an upper-bound indicator of
+        # roofline position (values near/above 1 = compute-bound), not
+        # an exact utilization.
         vpu_peak = 7.7e12
         util = {
-            "est_tflops": round(achieved / 1e12, 3),
-            "est_vpu_util": round(achieved / vpu_peak, 3),
+            "est_tflops_xla_basis": round(achieved / 1e12, 3),
+            "est_vpu_util_upper": round(achieved / vpu_peak, 3),
             "flops_per_env_substep": round(flops_per_step / E, 1),
         }
 

@@ -532,11 +532,34 @@ class phys_model:
             # arrays that must not be tracers.
             from ..sim.pallas_soa_grad import rollout_soa
 
-            sim_q, sim_qd, grfs, jafs = rollout_soa(
-                self.integrator, self._sim_params(params), state0,
-                scrub(ref_ja), scrub(torques), scrub(res_f),
-                self.dt, sub,
-                interval_fn=self._soa_interval(),
+            ivf = self._soa_interval()
+            sp = self._sim_params(params)
+
+            def _roll(bq0, bqd0, t, a, r, sp):
+                return rollout_soa(
+                    self.integrator, sp, SimState(bq0, bqd0), t, a, r,
+                    self.dt, sub, interval_fn=ivf,
+                )
+
+            mesh = self._mesh_for(self.num_envs)
+            if mesh is not None:
+                # explicit dp sharding of the kernel region: each chip
+                # rolls out its env shard (a bare pallas_call under
+                # auto-SPMD would be all-gathered + replicated instead)
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                _roll = shard_map(
+                    _roll, mesh=mesh,
+                    in_specs=(P("dp"), P("dp"), P(None, "dp"),
+                              P(None, "dp"), P(None, "dp"), P()),
+                    out_specs=(P(None, "dp"), P(None, "dp"),
+                               P(None, "dp"), P(None, "dp")),
+                    check_rep=False,
+                )
+            sim_q, sim_qd, grfs, jafs = _roll(
+                state0.body_q, state0.body_qd,
+                scrub(ref_ja), scrub(torques), scrub(res_f), sp,
             )
         else:
             sim_q, sim_qd, grfs, jafs = rollout(

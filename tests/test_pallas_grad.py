@@ -177,10 +177,57 @@ def test_window_kernel_matches_rollout(setup):
     np.testing.assert_allclose(np.asarray(jaf2), np.asarray(jaf1), atol=2e-2)
 
 
+def test_rollout_soa_per_env_params(setup):
+    """Per-env PD gains (system-ID sweeps) through the differentiable
+    pallas path: lane-E traced planes, per-tile param-grad outputs."""
+    model, integ, norm_I = setup
+    E, sub, F = 4, 2, 2
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F, seed=11)
+    res = jnp.zeros_like(res)
+    rng = np.random.RandomState(1)
+    ke0 = jnp.asarray(
+        np.concatenate(
+            [np.zeros((E, 6)), 220.0 * (1 + 0.2 * rng.rand(E, 12))], -1
+        ),
+        jnp.float32,
+    )  # (E, n_qd) per-env gains
+    kd0 = jnp.concatenate([jnp.zeros((E, 6)), 2.0 * jnp.ones((E, 12))], -1)
+    mass0 = jnp.asarray(model.body_mass)
+
+    def mk(roll_fn):
+        def f(ke, tgt, bq0):
+            p = _make_params(norm_I, ke, kd0, mass0)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True,
+            with_res=False,
+        )
+    )
+    args = (ke0, tgt, body_q)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=1e-4)
+    g1 = jax.grad(xla, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(soa, argnums=(0, 1, 2))(*args)
+    for n, a, b in zip(["ke_per_env", "tgt", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
 @pytest.mark.slow
 def test_phys_model_soa_engine_matches_xla():
     """phys_model with opts['phys_engine']='soa' produces the same losses
-    and gradients as the default XLA engine (the wired-in training path)."""
+    and gradients as the default XLA engine (the wired-in training path).
+
+    On the 8-device conftest mesh this also exercises the shard_map'd
+    kernel region: the pallas rollout runs per-dp-shard (asserted below),
+    so the comparison covers soa x multi-chip composition."""
     from ppr_diffphys_tpu.models.phys_model import phys_model
     from ppr_diffphys_tpu.data.amp_loader import DataLoader
     from ppr_diffphys_tpu.utils.config import build_opts
@@ -194,6 +241,7 @@ def test_phys_model_soa_engine_matches_xla():
         opts["phys_engine"] = engine
         m = phys_model(opts, DataLoader(opts))
         m.reinit_envs(2, frames_per_wdw=3, is_eval=False)
+        assert m._mesh_for(2) is not None  # dp mesh active on the test host
         m.rng = jax.random.PRNGKey(11)
         out = m.forward(frame_start=np.zeros(2))
         grads, _, gnorm = m._grad_accum[-1][0], None, m._grad_accum[-1][2]
