@@ -135,10 +135,11 @@ def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
         jnp.clip(f_tot[k] * active, -500.0, 500.0) for k in range(3)
     )
     t_tot = _cross(r, f_tot)
-    # atomic_sub sign + reduce over the chunk's contacts
+    # atomic_sub sign + reduce over the chunk's contacts (axis -2 so the
+    # same math serves 2D (cb,E) chunks and 3D (G,cb,E) body groups)
     return (
-        tuple(-jnp.sum(t_tot[k], 0, keepdims=True) for k in range(3)),
-        tuple(-jnp.sum(f_tot[k], 0, keepdims=True) for k in range(3)),
+        tuple(-jnp.sum(t_tot[k], -2, keepdims=True) for k in range(3)),
+        tuple(-jnp.sum(f_tot[k], -2, keepdims=True) for k in range(3)),
     )
 
 
@@ -354,90 +355,110 @@ def build_soa_static(
         con_f = tuple(jnp.concatenate(rows_f[k], 0) for k in range(3))
         return con_t, con_f
 
+    # body-group size for the looped contact paths: one fori iteration
+    # processes G bodies as (G,Cm,E) blocks. MEASURED on v5e (laikago,
+    # E=1024, training fwd+bwd): G=1 1.51M, G=2 1.46M, G=4 1.32M
+    # env-steps/s, G=6 VMEM-OOM — wider 3D blocks do NOT vectorize
+    # better (Mosaic iterates the leading dim anyway) and cost VMEM, so
+    # per-body it is. The (G,·,·) formulation is kept because the
+    # one-hot group extraction eliminated the per-row in-kernel
+    # transposes of the earlier per-body version (1.44M -> 1.51M).
+    G_BODIES = 1
+    n_groups = B
+
+    def _group_extract(g, bq, bqd, C):
+        """One-hot extraction of group g's rows (lax.dynamic_slice on
+        values does not lower in Mosaic): states as (G,1,E), contact
+        constants as (G,Cm,1); plus the (G,B) onehot for scattering."""
+        rows_ids = g * G_BODIES + jax.lax.broadcasted_iota(
+            jnp.int32, (G_BODIES, B), 0
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G_BODIES, B), 1)
+        oh = (rows_ids == cols).astype(F32)  # (G,B); all-zero rows past B
+        row = lambda plane: _mm(oh, plane)[:, None, :]  # (G,1,X)
+        cst = lambda plane: _mm(oh, plane)[:, :, None]  # (G,Cm,1)
+        qb = tuple(row(bq[3 + k]) for k in range(4))
+        tb = tuple(row(bq[k]) for k in range(3))
+        wb = tuple(row(bqd[k]) for k in range(3))
+        vb = tuple(row(bqd[3 + k]) for k in range(3))
+        com_b = tuple(row(C["com"][k]) for k in range(3))
+        pt = tuple(cst(C["cpt_bm"][k]) for k in range(3))
+        dist = cst(C["cdist_bm"])
+        mat = tuple(cst(C["cmat_bm"][k]) for k in range(4))
+        return oh, (qb, tb, wb, vb, com_b), (pt, dist, mat)
+
     def contact_rows_loop(bq, bqd, C):
-        """contact_rows as a fori_loop over bodies using only the tiny
-        lane-major (B,Cm) constant blocks — the grad kernel's forward
-        sweep uses this so the 6 MB sublane-major planes never enter
-        that kernel's VMEM. Returns ((B,E) x3, (B,E) x3) like
+        """contact_rows as a fori_loop over body GROUPS using only the
+        tiny lane-major (B,Cm) constant blocks — the grad kernel's
+        forward sweep uses this so the 6 MB sublane-major planes never
+        enter that kernel's VMEM. Returns ((B,E) x3, (B,E) x3) like
         contact_rows."""
         E = bq.shape[-1]
 
-        def body_fn(b, carry):
+        def body_fn(g, carry):
             t_acc, f_acc = carry  # (3,B,E) each
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) == b
-            ).astype(F32)
-            row = lambda plane: _mm(onehot, plane)
-            tr = lambda r: jnp.transpose(r, (1, 0))
-            qb = tuple(row(bq[3 + k]) for k in range(4))
-            tb = tuple(row(bq[k]) for k in range(3))
-            wb = tuple(row(bqd[k]) for k in range(3))
-            vb = tuple(row(bqd[3 + k]) for k in range(3))
-            com_b = tuple(row(C["com"][k]) for k in range(3))
-            pt = tuple(tr(row(C["cpt_bm"][k])) for k in range(3))
-            dist = tr(row(C["cdist_bm"]))
-            mat = tuple(tr(row(C["cmat_bm"][k])) for k in range(4))
-            dt_, df_ = _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat)
-            oh_col = tr(onehot)[None]  # (1,B,1)
-            t_acc = t_acc + oh_col * jnp.concatenate(list(dt_), 0)[:, None]
-            f_acc = f_acc + oh_col * jnp.concatenate(list(df_), 0)[:, None]
+            oh, args, consts = _group_extract(g, bq, bqd, C)
+            dt_, df_ = _chunk_force(*args, *consts)  # ((G,1,E) x3) x2
+            ohT = jnp.transpose(oh, (1, 0))  # (B,G)
+            t_acc = t_acc + jnp.stack(
+                [_mm(ohT, dt_[k][:, 0, :]) for k in range(3)], 0
+            )
+            f_acc = f_acc + jnp.stack(
+                [_mm(ohT, df_[k][:, 0, :]) for k in range(3)], 0
+            )
             return t_acc, f_acc
 
         zero = jnp.zeros((3, B, E), F32)
-        t_acc, f_acc = jax.lax.fori_loop(0, B, body_fn, (zero, zero))
+        t_acc, f_acc = jax.lax.fori_loop(0, n_groups, body_fn, (zero, zero))
         return tuple(t_acc[k] for k in range(3)), tuple(f_acc[k] for k in range(3))
 
     def contact_bwd(bq, bqd, C, d_rows_t, d_rows_f):
-        """Transpose of contact_rows as a ``fori_loop`` over bodies.
+        """Transpose of contact_rows as a ``fori_loop`` over body groups.
 
-        One loop iteration recomputes body b's (padded, lane-major)
-        contact block and runs its chunk vjp — the loop boundary bounds
-        live VMEM to ONE body's (Cm,E) intermediates. (An unrolled
-        python-loop transpose was measured at 38-42 MB scoped VMEM vs the
-        16 MB v5e budget: Mosaic keeps every chunk's vjp residuals on the
-        stack simultaneously.) Per-contact constants come from the tiny
-        lane-major (B,Cm) blocks, transposed one row at a time in-kernel.
+        One loop iteration recomputes a group's (padded, lane-major)
+        contact blocks and runs their chunk vjp — the loop boundary
+        bounds live VMEM to ONE group's (G,Cm,E) intermediates. (An
+        unrolled python-loop transpose was measured at 38-42 MB scoped
+        VMEM vs the 16 MB v5e budget: Mosaic keeps every chunk's vjp
+        residuals on the stack simultaneously.)
         Returns cotangents (d_bq (7,B,E), d_bqd (6,B,E))."""
         E = bq.shape[-1]
 
-        def body_fn(b, carry):
-            # row extraction by one-hot matmul (lax.dynamic_slice on
-            # *values* does not lower in Mosaic; refs aren't available
-            # here) — MXU work, deterministic
+        def body_fn(g, carry):
             dbq_acc, dbqd_acc = carry
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) == b
-            ).astype(F32)  # (1,B)
-            row = lambda plane: _mm(onehot, plane)  # (1,X)
-            tr = lambda r: jnp.transpose(r, (1, 0))  # (1,Cm)->(Cm,1)
-            qb = tuple(row(bq[3 + k]) for k in range(4))
-            tb = tuple(row(bq[k]) for k in range(3))
-            wb = tuple(row(bqd[k]) for k in range(3))
-            vb = tuple(row(bqd[3 + k]) for k in range(3))
-            com_b = tuple(row(C["com"][k]) for k in range(3))
-            pt = tuple(tr(row(C["cpt_bm"][k])) for k in range(3))
-            dist = tr(row(C["cdist_bm"]))
-            mat = tuple(tr(row(C["cmat_bm"][k])) for k in range(4))
+            oh, args, consts = _group_extract(g, bq, bqd, C)
+            pt, dist, mat = consts
 
             _, vjp = jax.vjp(
                 lambda qb, tb, wb, vb, com_b: _chunk_force(
                     qb, tb, wb, vb, com_b, pt, dist, mat
                 ),
-                qb, tb, wb, vb, com_b,
+                *args,
             )
+            row = lambda plane: _mm(oh, plane)[:, None, :]  # (G,1,E)
             ct = (
                 tuple(row(d_rows_t[k]) for k in range(3)),
                 tuple(row(d_rows_f[k]) for k in range(3)),
             )
-            g = vjp(ct)
-            upd_q = jnp.concatenate(list(g[1]) + list(g[0]), 0)[:, None]  # (7,1,E)
-            upd_qd = jnp.concatenate(list(g[2]) + list(g[3]), 0)[:, None]
-            oh_col = tr(onehot)[None]  # (1,B,1)
-            return dbq_acc + oh_col * upd_q, dbqd_acc + oh_col * upd_qd
+            gr = vjp(ct)
+            ohT = jnp.transpose(oh, (1, 0))  # (B,G)
+            # scatter rows back: dbq rows 0-2 = translation (gr[1]),
+            # 3-6 = quat (gr[0]); dbqd rows 0-2 = angular (gr[2]),
+            # 3-5 = linear (gr[3])
+            back = lambda x: _mm(ohT, x[:, 0, :])  # (G,1,E) -> (B,E)
+            dbq_acc = dbq_acc + jnp.stack(
+                [back(gr[1][k]) for k in range(3)]
+                + [back(gr[0][k]) for k in range(4)], 0
+            )
+            dbqd_acc = dbqd_acc + jnp.stack(
+                [back(gr[2][k]) for k in range(3)]
+                + [back(gr[3][k]) for k in range(3)], 0
+            )
+            return dbq_acc, dbqd_acc
 
         zero_q = jnp.zeros((7, B, E), F32)
         zero_qd = jnp.zeros((6, B, E), F32)
-        return jax.lax.fori_loop(0, B, body_fn, (zero_q, zero_qd))
+        return jax.lax.fori_loop(0, n_groups, body_fn, (zero_q, zero_qd))
 
     def substep_rest(bq, bqd, tgt, act, C, con_t, con_f, res=None, want_obs=False):
         """Joints + symplectic Euler given precomputed contact row forces.
