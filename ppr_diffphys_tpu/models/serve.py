@@ -38,8 +38,10 @@ class RolloutServer:
         self._fn = None
 
     def load_checkpoint(self, path):
+        # params are traced inputs of the jitted rollout (incl. the
+        # identified gains/masses via traced_planes) — a checkpoint swap
+        # is just new values for the same compiled program, no rebuild
         self.model.load_checkpoint(path)
-        self._fn = None  # params changed; sim params are traced anyway
 
     def _build(self):
         m = self.model
@@ -51,7 +53,7 @@ class RolloutServer:
             # whole-window single-kernel rollout: one pallas program per
             # window, state in VMEM across all frames (no per-frame
             # kernel-call unroll)
-            from ..sim.pallas_soa import build_soa_window
+            from ..sim.pallas_soa import build_soa_window, traced_planes
 
             kern = build_soa_window(
                 m.integrator, m._sim_params(m.params), m.dt, sub, F,
@@ -80,7 +82,8 @@ class RolloutServer:
             act = jnp.zeros_like(ref)
 
             if kern is not None:
-                body_q, _, _, _ = kern(state, ref, act)
+                planes = traced_planes(m.env, m._sim_params(params))
+                body_q, _, _, _ = kern(state, ref, act, planes)
                 return body_q  # (F, E, B, 7)
 
             # XLA fallback: scan per frame interval

@@ -40,6 +40,21 @@ F32 = jnp.float32
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def pick_tile(E: int, e_tile: int) -> int:
+    """Largest legal lane tile <= e_tile: Mosaic requires the lane (last)
+    block dim to be a multiple of 128 or equal to the full array dim.
+    Falls back to the full E (single grid step) when no multiple of 128
+    divides it."""
+    if E <= e_tile:
+        return E
+    t = (e_tile // 128) * 128
+    while t >= 128:
+        if E % t == 0:
+            return t
+        t -= 128
+    return E
+
+
 # ---- plane (component-tuple) math -----------------------------------------
 
 def _qmul(a, b):
@@ -511,7 +526,13 @@ def build_soa_static(
         f_tot = [jnp.zeros((B, E), F32)] * 3
 
         tgt3 = [_mm(C["D"][k], tgt) for k in range(3)]  # (B,E)
-        act3 = [_mm(C["D"][k], act) for k in range(3)]
+        # act=None: joint activations structurally zero (the reference
+        # multiplies torque_mlp outputs by 0, dp_model.py:529) — skipping
+        # them drops the act VMEM blocks and the D-matmuls entirely
+        act3 = (
+            [_mm(C["D"][k], act) for k in range(3)]
+            if act is not None else [0.0, 0.0, 0.0]
+        )
 
         def joint_force(k, q_ang, qd_ang):
             lo, hi_, lke, lkd = (C["lim"][j, k] for j in range(4))
@@ -717,26 +738,36 @@ def build_soa_window(
     that boundary substep's grf/jaf (compute_forces semantics,
     integrator_euler.py:491-551).
 
-    Returns ``run(state, joint_targets (S,E,n_qd), joint_acts (S,E,n_qd))
-    -> (body_q (F,E,B,7), body_qd (F,E,B,6), grf (F,E,B,6)->(F,...),
+    Returns ``run(state, joint_targets (S,E,n_qd), joint_acts (S,E,n_qd),
+    planes=None) -> (body_q (F,E,B,7), body_qd (F,E,B,6), grf (F,E,B,6),
     jaf (F,...))`` with S = substeps*(F-1)+1; the final row uses the last
     substep's inputs on the final state, exactly like integrator.rollout.
+
+    The four identified-parameter planes (:func:`traced_planes`) are
+    TRACED run-time inputs, not baked constants: pass ``planes`` per call
+    (defaulting to ones derived from the build-time ``params``), so a
+    serving process can swap checkpoints without recompiling the kernel
+    (reference serving semantics: params are tensors fed to the same CUDA
+    kernels, dp_model.py:1145-1248).
     """
-    substep, const_arrays, meta = build_soa_parts(integrator, params, dt)
+    substep, static_consts, meta = build_soa_static(integrator, dt)
     B, n_qd = meta["B"], meta["n_qd"]
     sub = substeps
     F = n_frames
-    const_names = list(const_arrays.keys())
-    cvals = list(const_arrays.values())
+    const_names = list(static_consts.keys())
+    cvals = list(static_consts.values())
     n_const = len(cvals)
+    default_planes = traced_planes(integrator.model, params)
 
     def kernel(*refs):
         bq0_ref, bqd0_ref, tgt_ref, act_ref, last_tgt_ref, last_act_ref = refs[:6]
         const_refs = refs[6 : 6 + n_const]
+        traced_refs = refs[6 + n_const : 10 + n_const]
         (fq_ref, fqd_ref, fgrf_ref, fjaf_ref,
-         lq_ref, lqd_ref, lgrf_ref, ljaf_ref) = refs[6 + n_const : 14 + n_const]
-        sq_ref, sqd_ref = refs[14 + n_const :]
+         lq_ref, lqd_ref, lgrf_ref, ljaf_ref) = refs[10 + n_const : 18 + n_const]
+        sq_ref, sqd_ref = refs[18 + n_const :]
         C = {n: r[:] for n, r in zip(const_names, const_refs)}
+        C.update(zip(TRACED_NAMES, (r[:] for r in traced_refs)))
         f = pl.program_id(1)
 
         @pl.when(f == 0)
@@ -781,13 +812,26 @@ def build_soa_window(
             idx_fn = lambda i, f, nd=nd: (0,) * nd
         return pl.BlockSpec(shape, idx_fn, memory_space=pltpu.VMEM)
 
-    def run(state: SimState, joint_targets, joint_acts):
+    def run(state: SimState, joint_targets, joint_acts, planes=None):
         E = state.body_q.shape[0]
-        et = min(e_tile, E)
-        assert E % et == 0, (E, et)
+        et = pick_tile(E, e_tile)  # legal lane tile for any serving E
         S = joint_targets.shape[0]
         assert S == sub * (F - 1) + 1, (S, sub, F)
         grid = (E // et, F - 1)  # frame axis innermost (sequential carry)
+
+        if planes is None:
+            planes = default_planes
+        tvals = [planes[n] for n in TRACED_NAMES]
+        tr_specs = []
+        for t in tvals:
+            if t.shape[-1] == 1:  # shared params: replicated to each tile
+                tr_specs.append(_spec(t.shape))
+            else:  # per-env params: tile the lane axis
+                blk = t.shape[:-1] + (et,)
+                nd = len(blk)
+                tr_specs.append(
+                    _spec(blk, lambda i, f, nd=nd: (0,) * (nd - 1) + (i,))
+                )
 
         bq = state.body_q.transpose(2, 1, 0)  # (7,B,E)
         bqd = state.body_qd.transpose(2, 1, 0)
@@ -803,7 +847,7 @@ def build_soa_window(
             _spec((1, sub, n_qd, et), lambda i, f: (f, 0, 0, i)),
             _spec((1, n_qd, et), lambda i, f: (0, 0, i)),
             _spec((1, n_qd, et), lambda i, f: (0, 0, i)),
-        ] + [_spec(c.shape) for c in cvals]
+        ] + [_spec(c.shape) for c in cvals] + tr_specs
         out_specs = (
             _spec((1, 7, B, et), lambda i, f: (f, 0, 0, i)),
             _spec((1, 6, B, et), lambda i, f: (f, 0, 0, i)),
@@ -835,7 +879,7 @@ def build_soa_window(
                 pltpu.VMEM((6, B, et), F32),
             ],
             interpret=interpret,
-        )(bq, bqd, tgt, act, last_tgt, last_act, *cvals)
+        )(bq, bqd, tgt, act, last_tgt, last_act, *cvals, *tvals)
         fq, fqd, fgrf, fjaf, lq, lqd, lgrf, ljaf = outs
         # (F,·,B,E) -> (F,E,B,·)
         aos = lambda x: x.transpose(0, 3, 2, 1)
@@ -889,8 +933,8 @@ def build_soa_rollout(
     def run(state: SimState, joint_targets, joint_acts):
         """state: (E,B,·) AoS arrays; targets/acts (S,E,n_qd)."""
         E = state.body_q.shape[0]
-        assert E % e_tile == 0, (E, e_tile)
-        grid = (E // e_tile,)
+        et = pick_tile(E, e_tile)
+        grid = (E // et,)
 
         bq = state.body_q.transpose(2, 1, 0)  # (7,B,E)
         bqd = state.body_qd.transpose(2, 1, 0)  # (6,B,E)
@@ -899,10 +943,10 @@ def build_soa_rollout(
 
         cvals = list(const_arrays.values())
         in_specs = [
-            _spec((7, B, e_tile), lambda i: (0, 0, i)),
-            _spec((6, B, e_tile), lambda i: (0, 0, i)),
-            _spec((substeps, n_qd, e_tile), lambda i: (0, 0, i)),
-            _spec((substeps, n_qd, e_tile), lambda i: (0, 0, i)),
+            _spec((7, B, et), lambda i: (0, 0, i)),
+            _spec((6, B, et), lambda i: (0, 0, i)),
+            _spec((substeps, n_qd, et), lambda i: (0, 0, i)),
+            _spec((substeps, n_qd, et), lambda i: (0, 0, i)),
         ] + [_spec(c.shape) for c in cvals]
 
         out_q, out_qd = pl.pallas_call(
@@ -910,8 +954,8 @@ def build_soa_rollout(
             grid=grid,
             in_specs=in_specs,
             out_specs=(
-                _spec((7, B, e_tile), lambda i: (0, 0, i)),
-                _spec((6, B, e_tile), lambda i: (0, 0, i)),
+                _spec((7, B, et), lambda i: (0, 0, i)),
+                _spec((6, B, et), lambda i: (0, 0, i)),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((7, B, E), F32),

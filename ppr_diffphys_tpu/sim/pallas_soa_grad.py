@@ -27,22 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .integrator import SemiImplicitIntegrator, SimState
-from .pallas_soa import TRACED_NAMES, build_soa_static, traced_planes
+from .pallas_soa import TRACED_NAMES, build_soa_static, pick_tile, traced_planes
 
 F32 = jnp.float32
-
-
-def _pick_tile(E: int, e_tile: int) -> int:
-    """Largest legal lane tile <= e_tile: Mosaic requires the lane (last)
-    block dim to be a multiple of 128 or equal to the full array dim."""
-    if E <= e_tile:
-        return E
-    t = (e_tile // 128) * 128
-    while t >= 128:
-        if E % t == 0:
-            return t
-        t -= 128
-    return E
 
 
 def make_diff_interval(
@@ -52,6 +39,7 @@ def make_diff_interval(
     e_tile: int = 128,
     interpret: bool = False,
     with_res: bool = True,
+    with_act: bool = True,
     contact_chunk: int = 192,
 ):
     """A differentiable frame-interval rollout on SoA planes.
@@ -68,7 +56,9 @@ def make_diff_interval(
     zero and returns zero res cotangents. Valid exactly when the caller's
     residual forces are structurally zero — which they are in every
     reference configuration (outputs multiplied by 0, dp_model.py:529,
-    :536).
+    :536). ``with_act=False`` does the same for the joint activations
+    (torque_mlp outputs, also multiplied by 0 at dp_model.py:529),
+    halving the per-substep sequence VMEM (tgt-only in, dtgt-only out).
     """
     substep, static_consts, meta = build_soa_static(
         integrator, dt, contact_chunk=contact_chunk
@@ -94,7 +84,28 @@ def make_diff_interval(
             idx_fn = lambda i, nd=nd: (0,) * nd
         return pl.BlockSpec(shape, idx_fn, memory_space=pltpu.VMEM)
 
-    n_in = 5 if with_res else 4  # bq, bqd, tgt, act[, res]
+    def _tile(E):
+        # interpret mode (CPU emulation) has no Mosaic lane-tile rule:
+        # honor small e_tile so tests can exercise the multi-grid-step
+        # param-grad accumulation (pl.when(program_id==0) zero-init +
+        # ref[:] += g) without needing E >= 256
+        if interpret and E % e_tile == 0:
+            return min(e_tile, E)
+        return pick_tile(E, e_tile)
+
+    # input layout: bq, bqd, tgt[, act][, res]
+    n_in = 3 + int(with_act) + int(with_res)
+
+    def _parse_seq_refs(refs):
+        """(tgt_ref, act_ref|None, res_ref|None) from the input refs."""
+        tgt_ref = refs[2]
+        k = 3
+        act_ref = None
+        if with_act:
+            act_ref = refs[k]
+            k += 1
+        res_ref = refs[k] if with_res else None
+        return tgt_ref, act_ref, res_ref
 
     def _step(bq, bqd, tgt_i, act_i, res_i, C_static, traced):
         C = dict(C_static)
@@ -103,8 +114,8 @@ def make_diff_interval(
 
     # ---- forward kernel ------------------------------------------------
     def fwd_kernel(*refs):
-        bq_ref, bqd_ref, tgt_ref, act_ref = refs[:4]
-        res_ref = refs[4] if with_res else None
+        bq_ref, bqd_ref = refs[:2]
+        tgt_ref, act_ref, res_ref = _parse_seq_refs(refs)
         static_refs = refs[n_in : n_in + n_static]
         traced_refs = refs[n_in + n_static : n_in + 4 + n_static]
         out_q_ref, out_qd_ref = refs[n_in + 4 + n_static :]
@@ -113,8 +124,9 @@ def make_diff_interval(
 
         def body(i, carry):
             bq, bqd = carry
+            act_i = act_ref[i] if with_act else None
             res_i = res_ref[i] if with_res else None
-            return _step(bq, bqd, tgt_ref[i], act_ref[i], res_i, C_static, traced)
+            return _step(bq, bqd, tgt_ref[i], act_i, res_i, C_static, traced)
 
         bq, bqd = jax.lax.fori_loop(0, S, body, (bq_ref[:], bqd_ref[:]))
         out_q_ref[:] = bq
@@ -122,22 +134,27 @@ def make_diff_interval(
 
     # ---- backward kernel -----------------------------------------------
     def bwd_kernel(*refs):
-        bq_ref, bqd_ref, tgt_ref, act_ref = refs[:4]
-        res_ref = refs[4] if with_res else None
+        bq_ref, bqd_ref = refs[:2]
+        tgt_ref, act_ref, res_ref = _parse_seq_refs(refs)
         k = n_in
         static_refs = refs[k : k + n_bwd_static]
         n_static_k = n_bwd_static
         traced_refs = refs[k + n_static_k : k + 4 + n_static_k]
         dq_ref, dqd_ref = refs[k + 4 + n_static_k : k + 6 + n_static_k]
-        n_out = 8 + (1 if with_res else 0)
-        outs = refs[k + 6 + n_static_k : k + 6 + n_static_k + n_out]
+        # outputs: dbq0, dbqd0, dtgt[, dact][, dres], dg0-3
+        n_out = 7 + int(with_act) + int(with_res)
+        outs = list(refs[k + 6 + n_static_k : k + 6 + n_static_k + n_out])
+        dbq0_ref, dbqd0_ref, dtgt_ref = outs[:3]
+        o = 3
+        dact_ref = None
+        if with_act:
+            dact_ref = outs[o]
+            o += 1
+        dres_ref = None
         if with_res:
-            (dbq0_ref, dbqd0_ref, dtgt_ref, dact_ref, dres_ref,
-             dg0_ref, dg1_ref, dg2_ref, dg3_ref) = outs
-        else:
-            (dbq0_ref, dbqd0_ref, dtgt_ref, dact_ref,
-             dg0_ref, dg1_ref, dg2_ref, dg3_ref) = outs
-            dres_ref = None
+            dres_ref = outs[o]
+            o += 1
+        dg0_ref, dg1_ref, dg2_ref, dg3_ref = outs[o : o + 4]
         sq_ref, sqd_ref = refs[k + 6 + n_static_k + n_out :]  # scratch
 
         C_static = {n: r[:] for n, r in zip(bwd_static_names, static_refs)}
@@ -156,8 +173,9 @@ def make_diff_interval(
             bq, bqd = carry
             sq_ref[i] = bq
             sqd_ref[i] = bqd
+            act_i = act_ref[i] if with_act else None
             res_i = res_ref[i] if with_res else None
-            return _step_loop(bq, bqd, tgt_ref[i], act_ref[i], res_i)
+            return _step_loop(bq, bqd, tgt_ref[i], act_i, res_i)
 
         jax.lax.fori_loop(0, S, fwd_body, (bq_ref[:], bqd_ref[:]))
 
@@ -168,19 +186,22 @@ def make_diff_interval(
         # substep keeps every chunk's (cb,E) residuals live across the
         # forward/transpose boundary (42 MB measured for the laikago hull
         # set vs 16 MB VMEM)
-        if with_res:
-            def rest_for_vjp(bq, bqd, tgt_i, act_i, res_i, con_t, con_f,
-                             *traced_args):
-                C = dict(C_static)
-                C.update(zip(TRACED_NAMES, traced_args))
-                return substep_rest(bq, bqd, tgt_i, act_i, C, con_t, con_f,
-                                    res=res_i)
-        else:
-            def rest_for_vjp(bq, bqd, tgt_i, act_i, con_t, con_f,
-                             *traced_args):
-                C = dict(C_static)
-                C.update(zip(TRACED_NAMES, traced_args))
-                return substep_rest(bq, bqd, tgt_i, act_i, C, con_t, con_f)
+        def rest_for_vjp(bq, bqd, tgt_i, *rest):
+            # rest = [act_i][, res_i], con_t, con_f, *traced
+            idx = 0
+            act_i = None
+            if with_act:
+                act_i = rest[idx]
+                idx += 1
+            res_i = None
+            if with_res:
+                res_i = rest[idx]
+                idx += 1
+            con_t, con_f = rest[idx], rest[idx + 1]
+            C = dict(C_static)
+            C.update(zip(TRACED_NAMES, rest[idx + 2 :]))
+            return substep_rest(bq, bqd, tgt_i, act_i, C, con_t, con_f,
+                                res=res_i)
 
         dg_init = tuple(jnp.zeros_like(t) for t in traced)
 
@@ -189,7 +210,9 @@ def make_diff_interval(
             j = S - 1 - i
             bq_j, bqd_j = sq_ref[j], sqd_ref[j]
             con_t, con_f = contact_rows_loop(bq_j, bqd_j, C_merged)
-            prim = (bq_j, bqd_j, tgt_ref[j], act_ref[j])
+            prim = (bq_j, bqd_j, tgt_ref[j])
+            if with_act:
+                prim = prim + (act_ref[j],)
             if with_res:
                 prim = prim + (res_ref[j],)
             prim = prim + (con_t, con_f)
@@ -197,11 +220,13 @@ def make_diff_interval(
             grads = vjp((dbq, dbqd))
             dbq, dbqd = grads[0], grads[1]
             dtgt_ref[j] = grads[2]
-            dact_ref[j] = grads[3]
-            o = 4
+            o = 3
+            if with_act:
+                dact_ref[j] = grads[o]
+                o += 1
             if with_res:
-                dres_ref[j] = grads[4]
-                o = 5
+                dres_ref[j] = grads[o]
+                o += 1
             d_con_t, d_con_f = grads[o], grads[o + 1]
             dg = tuple(a + g for a, g in zip(dg, grads[o + 2 :]))
             dbq_c, dbqd_c = contact_bwd(bq_j, bqd_j, C_merged, d_con_t, d_con_f)
@@ -253,19 +278,27 @@ def make_diff_interval(
     def _in_specs(et):
         specs = _state_io_specs(et) + [
             _spec((S, n_qd, et), lambda i: (0, 0, i)),
-            _spec((S, n_qd, et), lambda i: (0, 0, i)),
         ]
+        if with_act:
+            specs.append(_spec((S, n_qd, et), lambda i: (0, 0, i)))
         if with_res:
             specs.append(_spec((S, 6, B, et), lambda i: (0, 0, 0, i)))
         return specs
 
+    def _seq_ins(tgt, act, res):
+        return (
+            (tgt,)
+            + ((act,) if with_act else ())
+            + ((res,) if with_res else ())
+        )
+
     def fwd_call(bq, bqd, tgt, act, res, *traced):
         E = bq.shape[-1]
-        et = _pick_tile(E, e_tile)
+        et = _tile(E)
         grid = (E // et,)
         tr_specs, _ = _tr_specs(traced, E, et)
         in_specs = _in_specs(et) + [_spec(c.shape) for c in svals] + tr_specs
-        ins = (bq, bqd, tgt, act) + ((res,) if with_res else ())
+        ins = (bq, bqd) + _seq_ins(tgt, act, res)
         return pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -280,7 +313,7 @@ def make_diff_interval(
 
     def bwd_call(bq, bqd, tgt, act, res, traced, dq, dqd):
         E = bq.shape[-1]
-        et = _pick_tile(E, e_tile)
+        et = _tile(E)
         grid = (E // et,)
         tr_specs, tr_shapes = _tr_specs(traced, E, et)
         in_specs = (
@@ -290,19 +323,21 @@ def make_diff_interval(
             + _state_io_specs(et)
         )
         seq_spec = _spec((S, n_qd, et), lambda i: (0, 0, i))
-        out_specs = tuple(_state_io_specs(et)) + (seq_spec, seq_spec)
+        out_specs = tuple(_state_io_specs(et)) + (seq_spec,)
         out_shape = (
             jax.ShapeDtypeStruct((7, B, E), F32),
             jax.ShapeDtypeStruct((6, B, E), F32),
             jax.ShapeDtypeStruct((S, n_qd, E), F32),
-            jax.ShapeDtypeStruct((S, n_qd, E), F32),
         )
+        if with_act:
+            out_specs = out_specs + (seq_spec,)
+            out_shape = out_shape + (jax.ShapeDtypeStruct((S, n_qd, E), F32),)
         if with_res:
             out_specs = out_specs + (_spec((S, 6, B, et), lambda i: (0, 0, 0, i)),)
             out_shape = out_shape + (jax.ShapeDtypeStruct((S, 6, B, E), F32),)
         out_specs = out_specs + tuple(tr_specs)
         out_shape = out_shape + tuple(tr_shapes)
-        ins = (bq, bqd, tgt, act) + ((res,) if with_res else ())
+        ins = (bq, bqd) + _seq_ins(tgt, act, res)
         return pl.pallas_call(
             bwd_kernel,
             grid=grid,
@@ -328,13 +363,106 @@ def make_diff_interval(
         bq, bqd, tgt, act, res, traced = saved
         dq, dqd = ct
         grads = bwd_call(bq, bqd, tgt, act, res, traced, dq, dqd)
+        # re-insert structurally-zero cotangents for disabled inputs so
+        # the returned tuple always matches interval's 9-arg signature
+        grads = list(grads)
+        if not with_act:
+            grads.insert(3, jnp.zeros_like(act))
         if not with_res:
-            # structurally-zero residual forces: zero cotangent
-            grads = grads[:4] + (jnp.zeros_like(res),) + grads[4:]
+            grads.insert(4, jnp.zeros_like(res))
         return tuple(grads)
 
     interval.defvjp(interval_fwd, interval_bwd)
     return interval
+
+
+def estimate_interval_vmem(
+    substeps: int, B: int, n_qd: int, e_tile: int,
+    with_res: bool = False, with_act: bool = True, contacts_cm: int = 64,
+) -> int:
+    """Rough scoped-VMEM estimate (bytes) of the BACKWARD interval kernel
+    — the VMEM-heavier of the pair. Terms:
+
+    - substep-state scratch: (S,7,B,et) + (S,6,B,et)
+    - sequence blocks, double-buffered across the env grid: tgt in + dtgt
+      out [+ act/dact] [+ res/dres]
+    - a fixed allowance for the static consts (lane-major (B,Cm) contact
+      blocks, (3,B,n_qd) selectors) and the per-group (Cm,et) contact-vjp
+      temporaries (~20 live planes measured for laikago).
+
+    Calibrated against Mosaic's own scoped-vmem error messages
+    (laikago/quad, 2026-08-17); used by :func:`plan_chunks` to split
+    frame intervals that cannot fit, not as a hard guarantee.
+    """
+    S, et = substeps, e_tile
+    scratch = S * 13 * B * et * 4
+    seq = 2 * 2 * S * n_qd * et * 4  # tgt + dtgt, double-buffered
+    if with_act:
+        seq *= 2
+    if with_res:
+        seq += 2 * 2 * S * 6 * B * et * 4
+    consts = 4 * (B * B + 3 * B * n_qd) * 4 + 8 * B * contacts_cm * 4
+    temps = 24 * contacts_cm * et * 4 + 30 * B * et * 4
+    return scratch + seq + consts + temps
+
+
+def plan_chunks(
+    substeps: int, B: int, n_qd: int, e_tile: int,
+    with_res: bool = False, with_act: bool = True,
+    contacts_cm: int = 64, budget: int = 14 * 2 ** 20,
+):
+    """Split a frame interval of ``substeps`` into the fewest near-equal
+    kernel chunks whose backward-kernel VMEM estimate fits the budget
+    (v5e scoped VMEM is 16 MB; default leaves 2 MB headroom). Returns a
+    list of chunk sizes summing to ``substeps`` (length 1 = no split)."""
+    for n in range(1, substeps + 1):
+        hi = -(-substeps // n)
+        if estimate_interval_vmem(
+            hi, B, n_qd, e_tile, with_res, with_act, contacts_cm
+        ) <= budget:
+            base = substeps // n
+            rem = substeps - base * n
+            return [base + 1] * rem + [base] * (n - rem)
+    return [1] * substeps
+
+
+def make_diff_chain(
+    integrator: SemiImplicitIntegrator,
+    dt: float,
+    substeps: int,
+    chunk_sizes=None,
+    **kw,
+):
+    """A frame-interval function with :func:`make_diff_interval`'s
+    signature, built as a chain of smaller interval kernels when one
+    kernel's backward cannot hold all ``substeps`` states in VMEM (24 Hz
+    sequences: 83 substeps/frame, dp_model.py:416; big templates:
+    quad B=26 / human B=19). Chunk boundaries round-trip the (13,B,E)
+    state through HBM — ~100 KB per tile, negligible against the interval
+    compute — while reverse-AD across chunks stores only chunk-boundary
+    states (each chunk is its own custom-vjp pair)."""
+    if chunk_sizes is None:
+        chunk_sizes = [substeps]
+    assert sum(chunk_sizes) == substeps, (chunk_sizes, substeps)
+    fns = {
+        sz: make_diff_interval(integrator, dt, sz, **kw)
+        for sz in sorted(set(chunk_sizes))
+    }
+    if len(chunk_sizes) == 1:
+        return fns[chunk_sizes[0]]
+    offsets = [0]
+    for sz in chunk_sizes:
+        offsets.append(offsets[-1] + sz)
+
+    def chain(bq, bqd, tgt, act, res, *traced):
+        for sz, o in zip(chunk_sizes, offsets):
+            bq, bqd = fns[sz](
+                bq, bqd, tgt[o : o + sz], act[o : o + sz],
+                res[o : o + sz], *traced,
+            )
+        return bq, bqd
+
+    return chain
 
 
 def rollout_soa(
@@ -350,6 +478,7 @@ def rollout_soa(
     interpret: bool = False,
     interval_fn=None,
     with_res: bool = True,
+    with_act: bool = True,
 ):
     """Drop-in replacement for integrator.rollout on the Pallas path.
 
@@ -368,9 +497,15 @@ def rollout_soa(
     assert S == n_intervals * sub + 1, (S, sub)
 
     if interval_fn is None:
-        interval_fn = make_diff_interval(
-            integrator, dt, sub, e_tile=e_tile, interpret=interpret,
-            with_res=with_res,
+        model = integrator.model
+        chunks = plan_chunks(
+            sub, model.n_links, model.n_qd, e_tile,
+            with_res=with_res, with_act=with_act,
+        )
+        interval_fn = make_diff_chain(
+            integrator, dt, sub, chunk_sizes=chunks,
+            e_tile=e_tile, interpret=interpret,
+            with_res=with_res, with_act=with_act,
         )
     planes = traced_planes(integrator.model, params)
     tr = (planes["gains"], planes["inv_m"], planes["inertia"], planes["inv_inertia"])

@@ -252,6 +252,143 @@ def test_phys_model_soa_engine_matches_xla():
     np.testing.assert_allclose(g_s, g_x, rtol=2e-3)
 
 
+def _build_template(urdf, stiffness, damping, xform_y):
+    b = ModelBuilder()
+    parse_urdf(
+        urdf, b, xform_p=(0, xform_y, 0), floating=True, density=1000,
+        armature=0.01, stiffness=stiffness, damping=damping, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    model = b.finalize().make_ground_contacts("hull")
+    model.joint_attach_ke, model.joint_attach_kd = 8000.0, 200.0
+    integ = SemiImplicitIntegrator(model)
+    norm_I = jnp.asarray(
+        np.asarray(model.body_inertia)
+        / np.asarray(model.body_mass)[:, None, None]
+    )
+    return model, integ, norm_I
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "urdf,kp,kv,y0",
+    [
+        ("/root/reference/data/urdf_templates/quad.urdf", 660.0, 5.0, 0.05),
+        ("/root/reference/data/urdf_templates/human.urdf", 660.0, 5.0, 0.05),
+    ],
+    ids=["quad", "human"],
+)
+def test_rollout_soa_big_templates(urdf, kp, kv, y0):
+    """quad (26 bodies, COMPOUND joints) and human (19 bodies) through the
+    differentiable pallas path: values + grads vs XLA — the in-kernel
+    COMPOUND force branch (reference integrator_euler.py:411-445) is live
+    here, not just laikago's REVOLUTE path. Root height chosen so some
+    feet penetrate (contact branch active)."""
+    model, integ, norm_I = _build_template(urdf, kp, kv, y0)
+    E, sub, F = 2, 2, 2
+    S = sub * (F - 1) + 1
+    rng = np.random.RandomState(0)
+    qs = np.tile(np.array(model.joint_q_init, np.float32)[None], (E, 1))
+    qs[:, 1] += rng.uniform(-0.02, 0.01, E).astype(np.float32)
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    tgt = jnp.asarray(rng.randn(S, E, model.n_qd) * 0.1, jnp.float32)
+    act = jnp.zeros((S, E, model.n_qd), jnp.float32)
+    res = jnp.zeros((S, E, model.n_links, 6), jnp.float32)
+    wq = jnp.asarray(rng.randn(F, E, model.n_links, 7), jnp.float32)
+    ke0 = jnp.concatenate([jnp.zeros(6), kp * jnp.ones(model.n_qd - 6)])
+    kd0 = jnp.concatenate([jnp.zeros(6), kv * jnp.ones(model.n_qd - 6)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    def mk(roll_fn):
+        def f(ke, mass, tgt, bq0):
+            p = _make_params(norm_I, ke, kd0, mass)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt, act, res)
+            return jnp.sum(q_ * wq)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True,
+            with_res=False, with_act=False,
+        )
+    )
+    args = (ke0, mass0, tgt, body_q)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=2e-4)
+    g1 = jax.grad(xla, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(soa, argnums=(0, 1, 2, 3))(*args)
+    for n, a, b in zip(["ke", "mass", "tgt", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
+def test_rollout_soa_chunked_interval(setup):
+    """make_diff_chain splits one frame interval across several kernels
+    (the 24 Hz / big-template VMEM plan, plan_chunks) — values and grads
+    must match the XLA path exactly like the single-kernel case."""
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import make_diff_chain
+
+    model, integ, norm_I = setup
+    E, sub, F = 4, 5, 3
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F, seed=21)
+    act = jnp.zeros_like(act)
+    res = jnp.zeros_like(res)
+    ke0 = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    chain = make_diff_chain(
+        integ, 5e-4, sub, chunk_sizes=[2, 2, 1], e_tile=2, interpret=True,
+        with_res=False, with_act=False,
+    )
+
+    def mk(roll_fn):
+        def f(ke, mass, tgt, bq0):
+            p = _make_params(norm_I, ke, kd0, mass)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, interval_fn=chain,
+        )
+    )
+    args = (ke0, mass0, tgt, body_q)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=1e-4)
+    g1 = jax.grad(xla, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(soa, argnums=(0, 1, 2, 3))(*args)
+    for n, a, b in zip(["ke", "mass", "tgt", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
+def test_plan_chunks_budget():
+    """The VMEM planner: fits-in-one for the laikago cases, splits for
+    the big-template / 24 Hz cases, always partitions exactly."""
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import (
+        estimate_interval_vmem, plan_chunks,
+    )
+
+    for sub, B, n_qd in [(33, 13, 18), (83, 13, 18), (33, 26, 81),
+                         (83, 26, 81), (83, 19, 60)]:
+        chunks = plan_chunks(sub, B, n_qd, 128, with_act=False)
+        assert sum(chunks) == sub, (sub, chunks)
+        assert max(chunks) - min(chunks) <= 1  # near-equal
+        assert estimate_interval_vmem(
+            max(chunks), B, n_qd, 128, with_act=False
+        ) <= 14 * 2 ** 20
+    # laikago 60 Hz stays a single kernel (the round-2 fast path)
+    assert plan_chunks(33, 13, 18, 128, with_act=False) == [33]
+
+
 def test_rollout_soa_observables_match_xla(setup):
     """grf/jaf frame observables (reference compute_forces semantics,
     integrator_euler.py:491-551) agree between the two paths."""
