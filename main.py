@@ -55,13 +55,59 @@ flags.DEFINE_boolean(
     "late windows train open-loop stability over eval-length horizons")
 flags.DEFINE_boolean("render_vis", True, "render per-round videos")
 flags.DEFINE_integer("seed", 0, "rng seed")
+# ---- engine / performance knobs (TPU-native additions) ----------------
+flags.DEFINE_string(
+    "phys_engine", "auto",
+    "physics engine: 'soa' = differentiable pallas megakernel, 'xla' = "
+    "lax.scan, 'auto' = soa on TPU / xla elsewhere (the production "
+    "default)")
+flags.DEFINE_string(
+    "contact_mode", "hull",
+    "ground-contact candidate set: 'hull' (convex hull per shape; exact "
+    "for plane contacts, ~2.6x fewer points), 'all' (the reference's "
+    "every-vertex set), or 'hull:<margin>'")
+flags.DEFINE_integer("soa_e_tile", 128, "pallas env (lane) tile width")
+flags.DEFINE_integer(
+    "soa_ksub", 0,
+    "substeps per pallas kernel call; 0 = auto VMEM plan (splits 24 Hz "
+    "83-substep intervals / big templates into chunks that fit VMEM)")
+flags.DEFINE_boolean(
+    "soa_with_res", False,
+    "allocate residual-force buffers in the soa kernels (only needed if "
+    "res_f is ever nonzero; the reference multiplies it by 0)")
+flags.DEFINE_boolean(
+    "soa_with_act", False,
+    "allocate joint-activation buffers in the soa kernels (only needed "
+    "if torques are ever nonzero; the reference multiplies them by 0)")
+flags.DEFINE_integer("rollout_unroll", 4, "xla-engine scan unroll factor")
+flags.DEFINE_string("ckpt_backend", "pickle", "checkpoint format: pickle|orbax")
+flags.DEFINE_float(
+    "hull_fallback_margin", 3e-3,
+    "interior-vertex ground-penetration depth (m) beyond which hull "
+    "contacts auto-fall-back to the reference-exact 'all' set")
+flags.DEFINE_boolean(
+    "contact_fallback", True, "enable the hull->all auto-fallback")
+flags.DEFINE_string(
+    "mesh_shape", "",
+    "device mesh, e.g. 'dp=4,tp=2'; empty = auto dp over all chips")
+# ---- 24 Hz recipe (docs/24hz_adjudication.md): checkpoint selection ----
+flags.DEFINE_boolean(
+    "eval_selection", True,
+    "score every round's checkpoint by the full-sequence eval traj error "
+    "and copy the best one to ckpt_phys_best.pth at the end (the "
+    "variance-dominated 24 Hz sequences need selection, not just the "
+    "final checkpoint)")
+flags.DEFINE_integer(
+    "num_seeds", 1,
+    "train num_seeds runs (seed, seed+1, ...) and report/copy the best "
+    "by full-sequence eval — the measured 24 Hz seed spread is ~3x "
+    "(docs/24hz_adjudication.md); each run gets logname-s<k>")
 flags.DEFINE_string("profile_dir", "", "capture a jax profiler trace of "
                     "training iters 2-4 into this directory")
 
 
-def main(_):
-    opts = flags.FLAGS.flag_values_dict()
-
+def train_one(opts):
+    """One training run; returns (best_eval_score, best_ckpt_path)."""
     from ppr_diffphys_tpu.models.phys_model import phys_model
     from ppr_diffphys_tpu.utils.vis import PhysVisualizer
     from ppr_diffphys_tpu.data.amp_loader import DataLoader
@@ -71,10 +117,19 @@ def main(_):
     vis = PhysVisualizer(save_dir)
     dataloader = DataLoader(opts)
 
+    # 24 Hz default: the measured recipe (docs/24hz_adjudication.md) is
+    # 3x init noise for the 83-substep sequences; applies only when the
+    # user left --noise_std at its default
+    if flags.FLAGS["noise_std"].using_default_value:
+        if int(round(dataloader.frame_interval / 5e-4)) > 60:
+            opts["noise_std"] = 6e-3
+            print("24 Hz sequence: defaulting --noise_std to 6e-3")
+
     model = phys_model(opts, dataloader)
 
     import tqdm
 
+    best_score, best_it = None, None
     for it in tqdm.tqdm(range(model.total_iters)):
         model.progress = it / (opts["num_rounds"] * opts["iters_per_round"])
 
@@ -83,7 +138,13 @@ def main(_):
 
             # full-sequence eval + vis (reference main.py:78-81)
             model.reinit_envs(1, frames_per_wdw=model.total_frames, is_eval=True)
-            model.forward()
+            eval_out = model.forward()
+            eval_score = float(eval_out["loss_traj"])
+            vis.write_log({"eval/traj": eval_score}, it)
+            if opts.get("eval_selection", True) and (
+                best_score is None or eval_score < best_score
+            ):
+                best_score, best_it = eval_score, it
             data = model.query()
             data["model"] = model.env
             vis.show(it, data, fps=1.0 / model.frame_interval,
@@ -129,6 +190,51 @@ def main(_):
         loss_dict["iter_time"] = time.time() - t
         loss_dict["loss"] = loss
         vis.write_log(loss_dict, it)
+
+    best_path = None
+    if best_it is not None:
+        ext = "orbax" if opts.get("ckpt_backend") == "orbax" else "pth"
+        src = os.path.join(save_dir, "ckpt_phys_%04d.%s" % (best_it, ext))
+        best_path = os.path.join(save_dir, "ckpt_phys_best.%s" % ext)
+        if os.path.exists(src):
+            import shutil
+
+            if os.path.isdir(src):
+                shutil.copytree(src, best_path, dirs_exist_ok=True)
+            else:
+                shutil.copy(src, best_path)
+        print(
+            "best checkpoint by full-sequence eval: iter %d (traj %.4f) -> %s"
+            % (best_it, best_score, best_path)
+        )
+    return best_score, best_path
+
+
+def main(_):
+    opts = flags.FLAGS.flag_values_dict()
+    n_seeds = max(1, int(opts.get("num_seeds", 1)))
+    if n_seeds == 1:
+        train_one(opts)
+        return
+
+    # multi-seed selection (the 24 Hz recipe): N independent runs, best
+    # full-sequence eval wins (docs/24hz_adjudication.md seed study)
+    results = []
+    base_logname = opts["logname"]
+    base_seed = opts["seed"]
+    for k in range(n_seeds):
+        o = dict(opts)
+        o["seed"] = base_seed + k
+        o["logname"] = "%s-s%d" % (base_logname, k)
+        score, path = train_one(o)
+        results.append((score, o["seed"], path))
+        print("seed %d: eval traj %.4f" % (o["seed"], score))
+    results.sort(key=lambda r: (r[0] is None, r[0]))
+    score, seed, path = results[0]
+    print(
+        "multi-seed selection: best seed %d (eval traj %.4f), checkpoint %s"
+        % (seed, score, path)
+    )
 
 
 if __name__ == "__main__":

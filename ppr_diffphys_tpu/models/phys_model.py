@@ -232,6 +232,11 @@ class phys_model:
             devs = devs[: min(ngpu, len(devs))]
         self._devices = devs
         ms = opts.get("mesh_shape") or {}
+        if isinstance(ms, str):  # CLI form: "dp=4,tp=2"
+            ms = {
+                k.strip(): int(v)
+                for k, v in (kv.split("=") for kv in ms.split(",") if kv)
+            }
         self._tp = max(1, int(ms.get("tp", 1)))
         self._dp_cap = int(ms["dp"]) if "dp" in ms else None
         self._mesh_cache = {}
@@ -521,8 +526,8 @@ class phys_model:
         # the reference-exact upper-only adjoint clamp
         quirks = bool(self.opts.get("ref_quirks", False))
         scrub = scrub_grad_ref if quirks else scrub_grad
-        engine = self.opts.get("phys_engine", "xla")
-        if engine == "soa" and xp is None:
+        engine = self.resolve_engine(has_xp=xp is not None, is_train=is_train)
+        if engine == "soa":
             # differentiable pallas megakernel path (pallas_soa_grad):
             # one VMEM-resident kernel per frame interval, forward and
             # backward. (The lab4d live joint_X_p override is traced
@@ -546,7 +551,7 @@ class phys_model:
                 # explicit dp sharding of the kernel region: each chip
                 # rolls out its env shard (a bare pallas_call under
                 # auto-SPMD would be all-gathered + replicated instead)
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 _roll = shard_map(
@@ -555,7 +560,7 @@ class phys_model:
                               P(None, "dp"), P(None, "dp"), P()),
                     out_specs=(P(None, "dp"), P(None, "dp"),
                                P(None, "dp"), P(None, "dp")),
-                    check_rep=False,
+                    check_vma=False,
                 )
             sim_q, sim_qd, grfs, jafs = _roll(
                 state0.body_q, state0.body_qd,
@@ -709,27 +714,68 @@ class phys_model:
             jax.device_put(weights, r),
         )
 
+    def resolve_engine(self, has_xp=False, is_train=True):
+        """Resolve opts['phys_engine'] ('auto' default: the differentiable
+        pallas megakernel for TPU training, the XLA scan elsewhere).
+
+        'auto' keeps EVAL forwards on XLA: eval is one env once per round,
+        and the whole-sequence soa specialization costs ~9 min of Mosaic
+        compile (measured on v5e, mi-pace F=39) that the persistent cache
+        does not capture — all cost, no benefit. Explicit --phys_engine
+        soa overrides. The lab4d live joint-anchor override (joint_X_p
+        traced per-env) stays on XLA — the kernel bakes joint frames as
+        constants."""
+        eng = self.opts.get("phys_engine", "auto") or "auto"
+        if eng == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            eng = "soa" if (on_tpu and is_train) else "xla"
+        if eng == "soa" and has_xp:
+            eng = "xla"
+        return eng
+
+    def _soa_chunks(self):
+        """Kernel chunk sizes for one frame interval: manual via
+        opts['soa_ksub'], else the VMEM plan (24 Hz sequences at 83
+        substeps/frame and the big templates need >1 chunk)."""
+        from ..sim.pallas_soa_grad import plan_chunks
+
+        sub = self.steps_per_fr_interval
+        ksub = int(self.opts.get("soa_ksub", 0) or 0)
+        if ksub > 0:
+            n = -(-sub // ksub)
+            base, rem = sub // n, sub % n
+            return [base + 1] * rem + [base] * (n - rem)
+        return plan_chunks(
+            sub, self.env.n_links, self.env.n_qd,
+            int(self.opts.get("soa_e_tile", 128)),
+            with_res=bool(self.opts.get("soa_with_res", False)),
+            with_act=bool(self.opts.get("soa_with_act", False)),
+        )
+
     def _soa_interval(self):
         """Build (and cache) the differentiable pallas frame-interval
-        kernel for the current integrator. Must run on the host, outside
-        any jit trace — the kernel body closes over constant arrays that
-        would otherwise be captured as tracers."""
-        from ..sim.pallas_soa_grad import make_diff_interval
+        kernel (chain) for the current integrator. Must run on the host,
+        outside any jit trace — the kernel body closes over constant
+        arrays that would otherwise be captured as tracers."""
+        from ..sim.pallas_soa_grad import make_diff_chain
 
         key = (id(self.integrator), self.steps_per_fr_interval)
         cache = getattr(self, "_soa_cache", None)
         if cache is None:
             cache = self._soa_cache = {}
         if key not in cache:
-            cache[key] = make_diff_interval(
+            cache[key] = make_diff_chain(
                 self.integrator, self.dt, self.steps_per_fr_interval,
+                chunk_sizes=self._soa_chunks(),
                 e_tile=int(self.opts.get("soa_e_tile", 128)),
                 interpret=jax.default_backend() == "cpu",
-                # residual forces are structurally zero in every reference
-                # configuration (dp_model.py:529/:536) — omitting their
-                # VMEM buffers is what lets e_tile=128 fit; set
-                # soa_with_res for a config that actually drives res_f
+                # residual forces and joint activations are structurally
+                # zero in every reference configuration (dp_model.py:529/
+                # :536) — omitting their VMEM buffers is what lets
+                # e_tile=128 fit; soa_with_res / soa_with_act restore them
+                # for configs that actually drive res_f / torques
                 with_res=bool(self.opts.get("soa_with_res", False)),
+                with_act=bool(self.opts.get("soa_with_act", False)),
             )
         return cache[key]
 
@@ -737,7 +783,7 @@ class phys_model:
         sig = (kind, self.num_envs, self.frames_per_wdw)
         if sig not in self._jit_cache:
             _jit = jax.jit
-            if self.opts.get("phys_engine", "xla") == "soa":
+            if self.resolve_engine(is_train=kind == "grad") == "soa":
                 self._soa_interval()  # pre-build on host, outside the trace
 
             if kind == "grad":
@@ -751,17 +797,24 @@ class phys_model:
                     (loss, (out, aux)), grads = jax.value_and_grad(
                         loss_fn, has_aux=True
                     )(params)
-                    # norms over trainable (lr>0) leaves only, matching the
-                    # reference's params_ref_list (dp_model.py:942-950)
+                    # per-TENSOR norms over trainable (lr>0) leaves: the
+                    # reference's grad queue / tensorboard keys are per
+                    # named parameter, not per top-level group
+                    # (dp_model.py:969-975 params_ref_list entries)
                     lr_tree = self.param_lr_tree
+                    norms = {}
+
+                    def _norm(path, g, lr):
+                        if lr > 0:
+                            norms[self._leaf_name(path)] = jnp.sqrt(
+                                jnp.sum(jnp.square(g))
+                            )
+                        return g
+
+                    jax.tree_util.tree_map_with_path(_norm, grads, lr_tree)
                     masked = jax.tree.map(
                         lambda g, lr: g * (lr > 0), grads, lr_tree
                     )
-                    norms = {
-                        k: optax.global_norm(g)
-                        for k, g in masked.items()
-                        if self.param_peak_lr.get(k, 0.0) > 0
-                    }
                     gnorm = optax.global_norm(masked)
                     return out, grads, norms, gnorm
 
@@ -909,13 +962,22 @@ class phys_model:
         div, final_div = 25.0, 100.0
 
         def onecycle(step):
-            # torch OneCycleLR, linear anneal (reference dp_model.py:466-476)
-            s = jnp.asarray(step, jnp.float32) / total
-            up = 1.0 / div + (1.0 - 1.0 / div) * (s / pct_start)
-            down = 1.0 + (1.0 / div / final_div - 1.0) * (
-                (s - pct_start) / (1.0 - pct_start)
-            )
-            return jnp.where(s < pct_start, up, down)
+            # torch OneCycleLR, linear anneal (reference dp_model.py:466-476),
+            # with torch's exact phase boundaries: warmup ends at step
+            # pct_start*total - 1, the anneal at total - 1 (torch
+            # lr_scheduler.OneCycleLR._schedule_phases); pinned against
+            # torch update-for-update in tests/test_optimizer_parity.py
+            end1 = max(pct_start * total - 1.0, 1e-6)
+            end2 = max(total - 1.0, 1.0)
+            t = jnp.minimum(jnp.asarray(step, jnp.float32), end2)
+            init, fin = 1.0 / div, 1.0 / (div * final_div)
+            # lerp form: endpoint-exact in fp32 (the additive form loses
+            # ~2e-5 rel at the tiny final lr to cancellation)
+            f1 = t / end1
+            up = (1.0 - f1) * init + f1 * 1.0
+            f2 = (t - end1) / (end2 - end1)
+            down = (1.0 - f2) * 1.0 + f2 * fin
+            return jnp.where(t <= end1, up, down)
 
         self._lr_schedule = onecycle
         self.param_lr_tree = self._param_lr_tree()
@@ -948,10 +1010,8 @@ class phys_model:
         self.opt_state = self.tx.init(self.params)
 
         def apply(params, opt_state, grads, scales):
-            grads = {
-                k: jax.tree.map(lambda g: g * scales[k], v)
-                for k, v in grads.items()
-            }
+            # scales: per-leaf pytree (median-queue clip factors)
+            grads = jax.tree.map(lambda g, s: g * s, grads, scales)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state
 
@@ -994,6 +1054,7 @@ class phys_model:
             return grad_dict
         grads, scales = self._pending_update
         self._pending_update = None
+        scales = self._scales_tree(scales)
         mesh = self._mesh_for(self.num_envs)
         if mesh is not None:
             # canonical placement: grads come out of the sharded train step
@@ -1022,14 +1083,13 @@ class phys_model:
                 self.opt_state = self.optimizer_cache[0]
             return None
 
+        # per-tensor median-queue clipping, keyed by dotted tensor name
+        # (reference iterates params_ref_list — one named tensor each,
+        # dp_model.py:966-999)
         grad_dict = {}
         scales = {}
         queue_length = 10
-        for name in self.params:
-            if self.param_peak_lr.get(name, 0.0) <= 0:
-                scales[name] = 0.0
-                continue
-            g = norms[name]
+        for name, g in norms.items():
             grad_dict["grad/" + name] = g
             scales[name] = 1.0
             scale_threshold = 5.0
@@ -1046,6 +1106,24 @@ class phys_model:
             else:
                 q.append(g)
         return scales, grad_dict
+
+    def _scales_tree(self, scales):
+        """Per-leaf scale pytree from a {name: scale} dict: exact dotted
+        leaf name first, else the longest dotted-prefix match (so group-
+        level keys scale whole modules), else 0 (frozen leaves take no
+        update either way)."""
+
+        def pick(path, _):
+            name = self._leaf_name(path)
+            if name in scales:
+                return scales[name]
+            best, blen = 0.0, -1
+            for k, v in scales.items():
+                if name.startswith(k + ".") and len(k) > blen:
+                    best, blen = v, len(k)
+            return best
+
+        return jax.tree_util.tree_map_with_path(pick, self.params)
 
     def get_camera(self):
         """world-to-view matrices with the intrinsics packed into row 3
@@ -1079,11 +1157,21 @@ class phys_model:
     def init_global_q(self):
         self._finish_data()
         self.reinit_envs(1, 1, is_eval=True)
-        steps_fr = jnp.zeros((1, 1))
-        batch = self.get_batch_input(self.params, steps_fr)
-        q = jnp.concatenate([batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1)
-        body_q, _ = eval_fk(self.env, q)
-        foot_height = float(self.get_foot_height(body_q[:, None])[0, 0])
+
+        # one jitted program instead of eager op-by-op dispatch: over the
+        # TPU tunnel the eager version is ~100s of round trips (measured
+        # ~3 min of init; the compiled form is one cached ~20 s compile)
+        @jax.jit
+        def _foot_h(params):
+            steps_fr = jnp.zeros((1, 1))
+            batch = self.get_batch_input(params, steps_fr)
+            q = jnp.concatenate(
+                [batch["queried_q"][:, 0], batch["queried_ja"][:, 0]], -1
+            )
+            body_q, _ = eval_fk(self.env, q)
+            return self.get_foot_height(body_q[:, None])[0, 0]
+
+        foot_height = float(_foot_h(self.params))
         self.params["global_q"] = jnp.array(
             [0.0, -foot_height, 0.0, 0.0, 0.0, 0.0, 1.0], jnp.float32
         )

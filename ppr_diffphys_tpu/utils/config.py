@@ -42,7 +42,17 @@ DEFAULT_OPTS = dict(
     # TPU-specific
     num_envs=10,
     frames_per_wdw=24,
-    mesh_shape=None,  # e.g. {"dp": 4, "tp": 2}; None = single device
+    mesh_shape=None,  # {"dp": 4, "tp": 2} or "dp=4,tp=2"; None = auto dp
+    phys_engine="auto",  # soa | xla | auto (soa on TPU)
+    contact_mode="hull",  # hull | all | hull:<margin>
+    soa_e_tile=128,
+    soa_ksub=0,  # substeps per pallas call; 0 = auto VMEM plan
+    soa_with_res=False,
+    soa_with_act=False,
+    rollout_unroll=4,
+    ckpt_backend="pickle",
+    hull_fallback_margin=3e-3,
+    contact_fallback=True,
 )
 
 

@@ -99,9 +99,10 @@ def test_onecycle_schedule(model):
     s = model._lr_schedule
     total = max(2, model.total_iters)
     assert float(s(0)) == pytest.approx(1 / 25, rel=1e-3)
-    peak_step = 2.0  # pct_start = 2/total
-    assert float(s(peak_step)) == pytest.approx(1.0, rel=1e-2)
-    assert float(s(total)) == pytest.approx(1 / 25 / 100, rel=5e-2)
+    # torch OneCycleLR peaks at step pct_start*total - 1 (= 1 here) and
+    # bottoms out at total - 1 (torch _schedule_phases end_steps)
+    assert float(s(1.0)) == pytest.approx(1.0, rel=1e-3)
+    assert float(s(total - 1)) == pytest.approx(1 / 25 / 100, rel=1e-3)
 
 
 def test_noise_annealing(model):
