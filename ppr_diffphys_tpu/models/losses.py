@@ -47,9 +47,10 @@ def reduce_loss(
     only, dp_model.py:779).
 
     env0_th reproduces the reference's accidental sticky threshold
-    (dp_utils.py:99-101: ``th`` is only computed while 0, so env 0's
-    median gates every env) — a documented training-dynamics quirk,
-    enabled by opts['ref_quirks'].
+    (dp_utils.py:99-101: ``th`` is only recomputed while 0, so the first
+    env with a nonzero positive-median gates every subsequent env; envs
+    before it are all-zero and unaffected either way) — a documented
+    training-dynamics quirk, enabled by opts['ref_quirks'].
 
     loss_seq: (E, T)
     """
@@ -59,7 +60,9 @@ def reduce_loss(
         med = jnp.nan_to_num(med)
         th = med * 10.0
         if env0_th:
-            th = jnp.broadcast_to(th[0], th.shape)
+            # argmax of the boolean picks the first nonzero-median env
+            # (0 if none exists, where th[0] is itself 0)
+            th = jnp.broadcast_to(th[jnp.argmax(th > 0)], th.shape)
         exceed = loss_seq > th[:, None]
         any_exceed = jnp.any(exceed, axis=1, keepdims=True)
         first = jnp.argmax(exceed, axis=1)[:, None]

@@ -339,8 +339,11 @@ def ref_trajectory(model, params, body_q, body_qd, targets, acts, dt, steps):
             inputs=[bq, bqd, com, model.joint_q_start, model.joint_qd_start,
                     model.joint_type, model.joint_parent, X_p, X_c, axis,
                     targets[s].astype(np.float64), acts[s].astype(np.float64),
-                    model.joint_target_ke.astype(np.float64),
-                    model.joint_target_kd.astype(np.float64),
+                    # identified gains are per-forward tensors in the
+                    # reference (ForwardWarp inputs, dp_model.py:1145);
+                    # read them from params so system-ID sweeps flow
+                    np.asarray(params.joint_target_ke, np.float64),
+                    np.asarray(params.joint_target_kd, np.float64),
                     model.joint_limit_lower.astype(np.float64),
                     model.joint_limit_upper.astype(np.float64),
                     model.joint_limit_ke.astype(np.float64),
