@@ -260,15 +260,26 @@ def fit_camera_mlp(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(p, s):
-        l, g = jax.value_and_grad(loss_fn)(p)
-        updates, s = tx.update(g, s)
-        return optax.apply_updates(p, updates), s, l
+    # 100 optimizer steps per device program (lax.scan), termination
+    # checked at chunk boundaries — one host<->device sync per chunk
+    # instead of one per step (the reference checks every 100 iters too,
+    # torch_utils.py:279-289)
+    CHUNK = 100
 
-    for i in range(max_iters):
-        params, opt_state, loss = step(params, opt_state)
-        if i % 100 == 0 and float(loss) < termination_loss:
+    @jax.jit
+    def run_chunk(p, s):
+        def body(carry, _):
+            p, s = carry
+            l, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(g, s)
+            return (optax.apply_updates(p, updates), s), l
+
+        (p, s), ls = jax.lax.scan(body, (p, s), None, length=CHUNK)
+        return p, s, ls[-1]
+
+    for _ in range(max(1, max_iters // CHUNK)):
+        params, opt_state, loss = run_chunk(params, opt_state)
+        if float(loss) < termination_loss:
             break
     return params
 

@@ -24,6 +24,36 @@ jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: the suite is compile-bound on small CPU
 # hosts; repeated runs hit the cache instead of recompiling
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+_CACHE_DIR = "/tmp/jax_test_cache"
+_MARKER = os.path.join(_CACHE_DIR, ".suite_running")
+
+# A pytest run killed mid-compile truncates the entry being written, and
+# XLA hard-aborts ("Fatal Python error: Aborted") on deserializing it in
+# the NEXT run. Detect the dirty shutdown via a session marker and drop
+# only the entries written during that session (everything newer than the
+# stale marker) — the rest of the cache stays warm.
+os.makedirs(_CACHE_DIR, exist_ok=True)
+if os.path.exists(_MARKER):
+    t0 = os.path.getmtime(_MARKER) - 1.0
+    for _fn in os.listdir(_CACHE_DIR):
+        _p = os.path.join(_CACHE_DIR, _fn)
+        try:
+            if _fn != ".suite_running" and os.path.getmtime(_p) >= t0:
+                os.remove(_p)
+        except OSError:
+            pass
+with open(_MARKER, "w") as _f:
+    _f.write(str(os.getpid()))
+
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_raise_persistent_cache_errors", False)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # clean shutdown: this session's cache entries are intact, keep them
+    try:
+        os.remove(_MARKER)
+    except OSError:
+        pass
