@@ -190,7 +190,9 @@ def main():
         train step computes them)."""
         from ppr_diffphys_tpu.sim.integrator import rollout as xla_rollout
 
-        INTERVAL = 33
+        # 33 substeps = one 60 Hz mocap frame; PPR_BENCH_INTERVAL=83 is
+        # the 24 Hz case (dt=5e-4, reference dp_model.py:416)
+        INTERVAL = int(os.environ.get("PPR_BENCH_INTERVAL", "33"))
         n_iv = max(1, STEPS // INTERVAL // 3)  # keep iters ~O(100ms)
         S = INTERVAL * n_iv + 1
         tgt_s = jnp.tile(target[None], (S, 1, 1))
@@ -203,13 +205,26 @@ def main():
 
         if ENGINE == "soa":
             from ppr_diffphys_tpu.sim.pallas_soa_grad import (
-                make_diff_interval, rollout_soa,
+                make_diff_chain, pick_e_tile, plan_chunks, rollout_soa,
             )
 
-            ivf = make_diff_interval(
-                integ, 5e-4, INTERVAL,
-                e_tile=int(os.environ.get("PPR_BENCH_ETILE", "128")),
-                with_res=False,
+            # the production training path (phys_model._soa_interval):
+            # act-free kernels, auto env tile, VMEM-planned chunking
+            et = int(os.environ.get("PPR_BENCH_ETILE", "0")) or pick_e_tile(
+                INTERVAL, model.n_links, model.n_qd,
+                with_res=False, with_act=False,
+            )
+            print("e_tile: %d" % et, file=sys.stderr)
+            chunks = plan_chunks(
+                INTERVAL, model.n_links, model.n_qd, et,
+                with_res=False, with_act=False,
+            )
+            if len(chunks) > 1:
+                print("vmem plan: %d chunks %s" % (len(chunks), chunks),
+                      file=sys.stderr)
+            ivf = make_diff_chain(
+                integ, 5e-4, INTERVAL, chunk_sizes=chunks, e_tile=et,
+                with_res=False, with_act=False,
             )
             roll = lambda p, s: rollout_soa(
                 integ, p, s, tgt_s, act_s, res_s, 5e-4, INTERVAL,

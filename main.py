@@ -13,6 +13,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("PPR_PLATFORM"):
+    # force a jax backend (e.g. PPR_PLATFORM=cpu on hosts without an
+    # accelerator). The TPU plugin ignores JAX_PLATFORMS, so this must go
+    # through the config API before any device use.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PPR_PLATFORM"])
+
 from absl import app, flags
 
 flags.DEFINE_integer("local_rank", 0, "for distributed training")
@@ -66,7 +74,10 @@ flags.DEFINE_string(
     "ground-contact candidate set: 'hull' (convex hull per shape; exact "
     "for plane contacts, ~2.6x fewer points), 'all' (the reference's "
     "every-vertex set), or 'hull:<margin>'")
-flags.DEFINE_integer("soa_e_tile", 128, "pallas env (lane) tile width")
+flags.DEFINE_integer(
+    "soa_e_tile", 0,
+    "pallas env (lane) tile width; 0 = auto (largest single-kernel tile)",
+)
 flags.DEFINE_integer(
     "soa_ksub", 0,
     "substeps per pallas kernel call; 0 = auto VMEM plan (splits 24 Hz "

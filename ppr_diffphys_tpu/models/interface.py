@@ -105,6 +105,8 @@ def query_ja(steps_fr, articulation_spec, articulation_params, n_links):
 class phys_interface(phys_model):
     """Reference dp_interface.py:17-325."""
 
+    has_live_xp = True  # query_ja threads joint_X_p into every forward
+
     def __init__(self, opts, model_dict, dt=5e-4, copy_weights=False, device=None):
         self.copy_weights = copy_weights
         super().__init__(opts, model_dict, dt, device)

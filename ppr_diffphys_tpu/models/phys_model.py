@@ -104,6 +104,11 @@ class phys_model:
     reinit_envs, forward, backward, update, query, save/load_checkpoint,
     check_grad, clear_grad."""
 
+    # True on subclasses whose batches carry a live joint_X_p override
+    # (phys_interface / lab4d query_ja): the soa kernels are then built
+    # with traced anchor planes (with_xp)
+    has_live_xp = False
+
     def __init__(self, opts, dataloader, dt=5e-4, device=None):
         self.opts = opts
         logname = "%s-%s" % (opts["seqname"], opts["logname"])
@@ -530,15 +535,15 @@ class phys_model:
         if engine == "soa":
             # differentiable pallas megakernel path (pallas_soa_grad):
             # one VMEM-resident kernel per frame interval, forward and
-            # backward. (The lab4d live joint_X_p override is traced
-            # per-env state the kernel bakes as a constant — that path
-            # stays on XLA.) The interval fn must be built OUTSIDE the
-            # trace (_soa_interval) — its kernel closes over constant
-            # arrays that must not be tracers.
+            # backward. The lab4d live joint_X_p override rides along as
+            # traced XP_NAMES planes (with_xp kernels). The interval fn
+            # must be built OUTSIDE the trace (_soa_interval) — its
+            # kernel closes over constant arrays that must not be
+            # tracers.
             from ..sim.pallas_soa_grad import rollout_soa
 
-            ivf = self._soa_interval()
-            sp = self._sim_params(params)
+            ivf = self._soa_interval(with_xp=xp is not None)
+            sp = self._sim_params(params, joint_X_p=xp)
 
             def _roll(bq0, bqd0, t, a, r, sp):
                 return rollout_soa(
@@ -554,10 +559,14 @@ class phys_model:
                 from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
+                # params are replicated except the per-env joint anchors
+                sp_spec = jax.tree.map(lambda _: P(), sp)
+                if xp is not None:
+                    sp_spec = sp_spec._replace(joint_X_p=P("dp"))
                 _roll = shard_map(
                     _roll, mesh=mesh,
                     in_specs=(P("dp"), P("dp"), P(None, "dp"),
-                              P(None, "dp"), P(None, "dp"), P()),
+                              P(None, "dp"), P(None, "dp"), sp_spec),
                     out_specs=(P(None, "dp"), P(None, "dp"),
                                P(None, "dp"), P(None, "dp")),
                     check_vma=False,
@@ -723,20 +732,45 @@ class phys_model:
         compile (measured on v5e, mi-pace F=39) that the persistent cache
         does not capture — all cost, no benefit. Explicit --phys_engine
         soa overrides. The lab4d live joint-anchor override (joint_X_p
-        traced per-env) stays on XLA — the kernel bakes joint frames as
-        constants."""
+        traced per-env, reference dp_interface.py:438-466) runs on soa
+        too: the kernels thread the anchors as traced XP_NAMES planes
+        (``with_xp``) instead of baking them as constants."""
         eng = self.opts.get("phys_engine", "auto") or "auto"
         if eng == "auto":
             on_tpu = jax.default_backend() == "tpu"
             eng = "soa" if (on_tpu and is_train) else "xla"
-        if eng == "soa" and has_xp:
-            eng = "xla"
+            # measured exception (BENCHMARKS round 3, 1024 envs, v5e):
+            # the quad-class workload — many dofs, sparse contacts —
+            # trains 5-16% faster on the XLA scan (2.15M vs 2.05M
+            # env-steps/s at 60 Hz, 2.14M vs 1.85M at 24 Hz); every
+            # other template x rate is 1.2-6x faster on soa
+            if (
+                eng == "soa"
+                and self.env.n_qd > 60
+                and self.env.contact_count < 16 * self.env.n_links
+            ):
+                eng = "xla"
         return eng
 
-    def _soa_chunks(self):
+    def _soa_e_tile(self, with_xp=False):
+        """opts['soa_e_tile'], or (0 = auto, the default) the largest
+        single-kernel tile per pick_e_tile's measured policy."""
+        et = int(self.opts.get("soa_e_tile", 0) or 0)
+        if et > 0:
+            return et
+        from ..sim.pallas_soa_grad import pick_e_tile
+
+        return pick_e_tile(
+            self.steps_per_fr_interval, self.env.n_links, self.env.n_qd,
+            with_res=bool(self.opts.get("soa_with_res", False)),
+            with_act=bool(self.opts.get("soa_with_act", False)),
+            with_xp=with_xp,
+        )
+
+    def _soa_chunks(self, with_xp=False):
         """Kernel chunk sizes for one frame interval: manual via
-        opts['soa_ksub'], else the VMEM plan (24 Hz sequences at 83
-        substeps/frame and the big templates need >1 chunk)."""
+        opts['soa_ksub'], else the VMEM plan (splits only extreme
+        substeps x e_tile products under the raised Mosaic cap)."""
         from ..sim.pallas_soa_grad import plan_chunks
 
         sub = self.steps_per_fr_interval
@@ -747,28 +781,30 @@ class phys_model:
             return [base + 1] * rem + [base] * (n - rem)
         return plan_chunks(
             sub, self.env.n_links, self.env.n_qd,
-            int(self.opts.get("soa_e_tile", 128)),
+            self._soa_e_tile(with_xp),
             with_res=bool(self.opts.get("soa_with_res", False)),
             with_act=bool(self.opts.get("soa_with_act", False)),
+            with_xp=with_xp,
         )
 
-    def _soa_interval(self):
+    def _soa_interval(self, with_xp=False):
         """Build (and cache) the differentiable pallas frame-interval
         kernel (chain) for the current integrator. Must run on the host,
         outside any jit trace — the kernel body closes over constant
         arrays that would otherwise be captured as tracers."""
         from ..sim.pallas_soa_grad import make_diff_chain
 
-        key = (id(self.integrator), self.steps_per_fr_interval)
+        key = (id(self.integrator), self.steps_per_fr_interval, with_xp)
         cache = getattr(self, "_soa_cache", None)
         if cache is None:
             cache = self._soa_cache = {}
         if key not in cache:
             cache[key] = make_diff_chain(
                 self.integrator, self.dt, self.steps_per_fr_interval,
-                chunk_sizes=self._soa_chunks(),
-                e_tile=int(self.opts.get("soa_e_tile", 128)),
+                chunk_sizes=self._soa_chunks(with_xp=with_xp),
+                e_tile=self._soa_e_tile(with_xp),
                 interpret=jax.default_backend() == "cpu",
+                with_xp=with_xp,
                 # residual forces and joint activations are structurally
                 # zero in every reference configuration (dp_model.py:529/
                 # :536) — omitting their VMEM buffers is what lets
@@ -784,7 +820,8 @@ class phys_model:
         if sig not in self._jit_cache:
             _jit = jax.jit
             if self.resolve_engine(is_train=kind == "grad") == "soa":
-                self._soa_interval()  # pre-build on host, outside the trace
+                # pre-build on host, outside the trace
+                self._soa_interval(with_xp=self.has_live_xp)
 
             if kind == "grad":
                 def fn(params, frame_start, key, progress, weights):
@@ -1025,14 +1062,22 @@ class phys_model:
         ({} when the step was rolled back)."""
         assert self._grad_accum, "forward() must run before update()"
         n = len(self._grad_accum)
-        grads = jax.tree.map(
-            lambda *g: sum(g) / n, *[a[0] for a in self._grad_accum]
-        )
+        if n == 1:
+            # common case (accu_steps=1): no eager device ops at all.
+            # (Python sum() starts at 0, so even a 1-term sum dispatches
+            # an eager int+Array add per leaf on the sharded grads —
+            # observed to trip an XLA:CPU runtime abort late in long
+            # processes, and it is pure overhead anyway.)
+            grads, norms_dev, gnorm_dev = self._grad_accum[0]
+        else:
+            grads = jax.tree.map(
+                lambda *g: sum(g) / n, *[a[0] for a in self._grad_accum]
+            )
+            gnorm_dev = sum(a[2] for a in self._grad_accum) / n
+            norms_dev = {k: sum(a[1][k] for a in self._grad_accum) / n
+                         for k in self._grad_accum[0][1]}
         # ONE host transfer for all grad statistics (each float() would be a
         # separate device->host round trip — expensive over the TPU tunnel)
-        gnorm_dev = sum(a[2] for a in self._grad_accum) / n
-        norms_dev = {k: sum(a[1][k] for a in self._grad_accum) / n
-                     for k in self._grad_accum[0][1]}
         gnorm, norms = jax.device_get((gnorm_dev, norms_dev))
         gnorm = float(gnorm)
         norms = {k: float(v) for k, v in norms.items()}

@@ -37,6 +37,12 @@ from .builder import (
 from .integrator import SemiImplicitIntegrator, SimParams, SimState
 
 F32 = jnp.float32
+
+# Raised Mosaic scoped-VMEM cap shared by all SoA kernels: the default
+# 16 MB is a compiler default, not the hardware (v5e: 128 MB/core); the
+# big-template kernels need ~16-40 MB (see pallas_soa_grad.VMEM_LIMIT
+# rationale).
+VMEM_LIMIT = 100 * 2 ** 20
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -160,9 +166,34 @@ def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
 
 TRACED_NAMES = ("gains", "inv_m", "inertia", "inv_inertia")
 
+# live joint-anchor planes (lab4d query_ja override, reference
+# dp_interface.py:438-466) — traced only when the kernel is built with
+# ``with_xp`` (pallas_soa_grad.make_diff_interval); static consts otherwise
+XP_NAMES = ("xp_t", "xp_q", "rp_local")
+
+
+def xp_planes(model, joint_X_p):
+    """Plane layout of a joint-anchor override ``joint_X_p`` ((B,7) shared
+    -> lane-1, (E,B,7) per-env -> lane-E). Differentiable. ``rp_local`` is
+    the parent-COM-relative anchor arm the joint sweep rotates into the
+    world frame (r_p = R_wp @ (xp_t - com_parent), integrator.py:266)."""
+    parent = model.joint_parent
+    parent_safe = np.where(parent >= 0, parent, 0)
+    com_parent = jnp.asarray(model.body_com[parent_safe].T[:, :, None], F32)
+    xp = jnp.asarray(joint_X_p, F32)
+    if xp.ndim == 2:  # (B,7) -> lane-1
+        xp_t = xp[:, 0:3].T[:, :, None]
+        xp_q = xp[:, 3:7].T[:, :, None]
+    else:  # (E,B,7) -> lane-E
+        xp_t = xp[..., 0:3].transpose(2, 1, 0)
+        xp_q = xp[..., 3:7].transpose(2, 1, 0)
+    return dict(xp_t=xp_t, xp_q=xp_q, rp_local=xp_t - com_parent)
+
 
 def traced_planes(model, params: SimParams):
-    """The four per-call (traced) parameter arrays in plane layout.
+    """The per-call (traced) parameter arrays in plane layout: the four
+    identified-parameter planes (TRACED_NAMES), plus the XP_NAMES anchor
+    planes when ``params.joint_X_p`` is live (lab4d mode).
 
     Differentiable jnp transforms — the custom-vjp wrapper in
     pallas_soa_grad.py takes these as explicit arguments so ``jax.grad``
@@ -191,12 +222,15 @@ def traced_planes(model, params: SimParams):
     else:  # (E,B,3,3)
         inertia = params.body_inertia.transpose(2, 3, 1, 0)  # (3,3,B,E)
         inv_inertia = params.body_inv_inertia.transpose(2, 3, 1, 0)
-    return dict(
+    planes = dict(
         gains=jnp.asarray(gains, F32),
         inv_m=jnp.asarray(inv_m, F32),
         inertia=jnp.asarray(inertia, F32),
         inv_inertia=jnp.asarray(inv_inertia, F32),
     )
+    if getattr(params, "joint_X_p", None) is not None:
+        planes.update(xp_planes(model, params.joint_X_p))
+    return planes
 
 
 def build_soa_static(
@@ -879,6 +913,10 @@ def build_soa_window(
                 pltpu.VMEM((6, B, et), F32),
             ],
             interpret=interpret,
+            compiler_params=(
+                None if interpret
+                else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+            ),
         )(bq, bqd, tgt, act, last_tgt, last_act, *cvals, *tvals)
         fq, fqd, fgrf, fjaf, lq, lqd, lgrf, ljaf = outs
         # (F,·,B,E) -> (F,E,B,·)
@@ -962,6 +1000,10 @@ def build_soa_rollout(
                 jax.ShapeDtypeStruct((6, B, E), F32),
             ),
             interpret=interpret,
+            compiler_params=(
+                None if interpret
+                else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+            ),
         )(bq, bqd, tgt, act, *cvals)
         return SimState(
             out_q.transpose(2, 1, 0), out_qd.transpose(2, 1, 0)

@@ -27,9 +27,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .integrator import SemiImplicitIntegrator, SimState
-from .pallas_soa import TRACED_NAMES, build_soa_static, pick_tile, traced_planes
+from .pallas_soa import (
+    TRACED_NAMES, VMEM_LIMIT, XP_NAMES, build_soa_static, pick_tile,
+    traced_planes,
+)
 
 F32 = jnp.float32
+
+# VMEM_LIMIT rationale: Mosaic's default scoped-VMEM cap is 16 MB — a
+# compiler default, not the hardware (v5e: 128 MB/core). The big-robot
+# backward kernels' per-substep vjp temporaries alone exceed 16 MB (quad
+# B=26: 16.3 MB scoped measured even at 16 substeps, 2026-08-17), so the
+# SoA kernels raise the cap.
+
+
+def _params(interpret: bool, vmem_limit_bytes: int):
+    if interpret:  # CompilerParams are Mosaic-only
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
 
 
 def make_diff_interval(
@@ -40,16 +55,21 @@ def make_diff_interval(
     interpret: bool = False,
     with_res: bool = True,
     with_act: bool = True,
+    with_xp: bool = False,
     contact_chunk: int = 192,
+    vmem_limit_bytes: int = VMEM_LIMIT,
 ):
     """A differentiable frame-interval rollout on SoA planes.
 
-    Returns ``f(bq, bqd, tgt, act, res, gains, inv_m, inertia,
-    inv_inertia) -> (bq', bqd')`` where bq (7,B,E), bqd (6,B,E),
-    tgt/act (S,n_qd,E), res (S,6,B,E) [warp torque,force layout], and the
-    trailing four are the traced parameter planes from
-    :func:`pallas_soa.traced_planes` (lane-1 shared or lane-E per-env).
-    All inputs receive gradients.
+    Returns ``f(bq, bqd, tgt, act, res, *traced) -> (bq', bqd')`` where
+    bq (7,B,E), bqd (6,B,E), tgt/act (S,n_qd,E), res (S,6,B,E) [warp
+    torque,force layout], and ``traced`` are the traced parameter planes
+    from :func:`pallas_soa.traced_planes` (lane-1 shared or lane-E
+    per-env): the four TRACED_NAMES planes, plus — with ``with_xp`` — the
+    three XP_NAMES joint-anchor planes (the lab4d live ``joint_X_p``
+    override, reference dp_interface.py:438-466, which the static kernel
+    would otherwise bake as trace-time constants). All inputs receive
+    gradients.
 
     ``with_res=False`` omits the residual-force VMEM buffers (the
     dominant env-dependent cost at e_tile=128): the kernel treats res as
@@ -68,8 +88,10 @@ def make_diff_interval(
     substep_rest = meta["substep_rest"]
     B, n_qd = meta["B"], meta["n_qd"]
     S = substeps
-    static_names = list(static_consts.keys())
-    svals = list(static_consts.values())
+    tr_names = TRACED_NAMES + (XP_NAMES if with_xp else ())
+    n_tr = len(tr_names)
+    static_names = [n for n in static_consts if not (with_xp and n in XP_NAMES)]
+    svals = [static_consts[n] for n in static_names]
     n_static = len(svals)
     # the backward kernel only touches contacts through the tiny
     # lane-major (B,Cm) blocks — keep the 6 MB sublane-major planes
@@ -109,7 +131,7 @@ def make_diff_interval(
 
     def _step(bq, bqd, tgt_i, act_i, res_i, C_static, traced):
         C = dict(C_static)
-        C.update(zip(TRACED_NAMES, traced))
+        C.update(zip(tr_names, traced))
         return substep(bq, bqd, tgt_i, act_i, C, res=res_i)
 
     # ---- forward kernel ------------------------------------------------
@@ -117,8 +139,8 @@ def make_diff_interval(
         bq_ref, bqd_ref = refs[:2]
         tgt_ref, act_ref, res_ref = _parse_seq_refs(refs)
         static_refs = refs[n_in : n_in + n_static]
-        traced_refs = refs[n_in + n_static : n_in + 4 + n_static]
-        out_q_ref, out_qd_ref = refs[n_in + 4 + n_static :]
+        traced_refs = refs[n_in + n_static : n_in + n_tr + n_static]
+        out_q_ref, out_qd_ref = refs[n_in + n_tr + n_static :]
         C_static = {n: r[:] for n, r in zip(static_names, static_refs)}
         traced = tuple(r[:] for r in traced_refs)
 
@@ -139,11 +161,12 @@ def make_diff_interval(
         k = n_in
         static_refs = refs[k : k + n_bwd_static]
         n_static_k = n_bwd_static
-        traced_refs = refs[k + n_static_k : k + 4 + n_static_k]
-        dq_ref, dqd_ref = refs[k + 4 + n_static_k : k + 6 + n_static_k]
-        # outputs: dbq0, dbqd0, dtgt[, dact][, dres], dg0-3
-        n_out = 7 + int(with_act) + int(with_res)
-        outs = list(refs[k + 6 + n_static_k : k + 6 + n_static_k + n_out])
+        traced_refs = refs[k + n_static_k : k + n_tr + n_static_k]
+        dq_ref, dqd_ref = refs[k + n_tr + n_static_k : k + n_tr + 2 + n_static_k]
+        # outputs: dbq0, dbqd0, dtgt[, dact][, dres], dg per traced plane
+        n_out = 3 + n_tr + int(with_act) + int(with_res)
+        k_out = k + n_tr + 2 + n_static_k
+        outs = list(refs[k_out : k_out + n_out])
         dbq0_ref, dbqd0_ref, dtgt_ref = outs[:3]
         o = 3
         dact_ref = None
@@ -154,13 +177,13 @@ def make_diff_interval(
         if with_res:
             dres_ref = outs[o]
             o += 1
-        dg0_ref, dg1_ref, dg2_ref, dg3_ref = outs[o : o + 4]
-        sq_ref, sqd_ref = refs[k + 6 + n_static_k + n_out :]  # scratch
+        dg_refs = outs[o : o + n_tr]
+        sq_ref, sqd_ref = refs[k_out + n_out :]  # scratch
 
         C_static = {n: r[:] for n, r in zip(bwd_static_names, static_refs)}
         traced = tuple(r[:] for r in traced_refs)
         C_merged = dict(C_static)
-        C_merged.update(zip(TRACED_NAMES, traced))
+        C_merged.update(zip(tr_names, traced))
 
         def _step_loop(bq, bqd, tgt_i, act_i, res_i):
             con_t, con_f = contact_rows_loop(bq, bqd, C_merged)
@@ -199,7 +222,7 @@ def make_diff_interval(
                 idx += 1
             con_t, con_f = rest[idx], rest[idx + 1]
             C = dict(C_static)
-            C.update(zip(TRACED_NAMES, rest[idx + 2 :]))
+            C.update(zip(tr_names, rest[idx + 2 :]))
             return substep_rest(bq, bqd, tgt_i, act_i, C, con_t, con_f,
                                 res=res_i)
 
@@ -241,7 +264,7 @@ def make_diff_interval(
         # parameter-plane grads: lane-1 (shared) planes accumulate across
         # the sequential env-tile grid; lane-E (per-env) planes are
         # per-tile blocks and write directly.
-        for ref, g in zip((dg0_ref, dg1_ref, dg2_ref, dg3_ref), dg):
+        for ref, g in zip(dg_refs, dg):
             if ref.shape[-1] > 1:  # per-env (lane-tiled) plane
                 ref[:] = g
             else:
@@ -309,6 +332,7 @@ def make_diff_interval(
                 jax.ShapeDtypeStruct((6, B, E), F32),
             ),
             interpret=interpret,
+            compiler_params=_params(interpret, vmem_limit_bytes),
         )(*ins, *svals, *traced)
 
     def bwd_call(bq, bqd, tgt, act, res, traced, dq, dqd):
@@ -349,81 +373,138 @@ def make_diff_interval(
                 pltpu.VMEM((S, 6, B, et), F32),
             ],
             interpret=interpret,
+            compiler_params=_params(interpret, vmem_limit_bytes),
         )(*ins, *bwd_svals, *traced, dq, dqd)
 
     @jax.custom_vjp
-    def interval(bq, bqd, tgt, act, res, gains, inv_m, inertia, inv_inertia):
-        return fwd_call(bq, bqd, tgt, act, res, gains, inv_m, inertia, inv_inertia)
+    def interval_t(bq, bqd, tgt, act, res, traced):
+        return fwd_call(bq, bqd, tgt, act, res, *traced)
 
-    def interval_fwd(bq, bqd, tgt, act, res, gains, inv_m, inertia, inv_inertia):
-        out = fwd_call(bq, bqd, tgt, act, res, gains, inv_m, inertia, inv_inertia)
-        return out, (bq, bqd, tgt, act, res, (gains, inv_m, inertia, inv_inertia))
+    def interval_fwd(bq, bqd, tgt, act, res, traced):
+        out = fwd_call(bq, bqd, tgt, act, res, *traced)
+        return out, (bq, bqd, tgt, act, res, traced)
 
     def interval_bwd(saved, ct):
         bq, bqd, tgt, act, res, traced = saved
         dq, dqd = ct
         grads = bwd_call(bq, bqd, tgt, act, res, traced, dq, dqd)
         # re-insert structurally-zero cotangents for disabled inputs so
-        # the returned tuple always matches interval's 9-arg signature
+        # the returned tuple always matches interval_t's signature
         grads = list(grads)
         if not with_act:
             grads.insert(3, jnp.zeros_like(act))
         if not with_res:
             grads.insert(4, jnp.zeros_like(res))
-        return tuple(grads)
+        return tuple(grads[:5]) + (tuple(grads[5:]),)
 
-    interval.defvjp(interval_fwd, interval_bwd)
+    interval_t.defvjp(interval_fwd, interval_bwd)
+
+    def interval(bq, bqd, tgt, act, res, *traced):
+        assert len(traced) == n_tr, (len(traced), tr_names)
+        return interval_t(bq, bqd, tgt, act, res, tuple(traced))
+
+    interval.with_xp = with_xp
     return interval
+
+
+def _pad(d: int, m: int) -> int:
+    return -(-d // m) * m
 
 
 def estimate_interval_vmem(
     substeps: int, B: int, n_qd: int, e_tile: int,
     with_res: bool = False, with_act: bool = True, contacts_cm: int = 64,
+    with_xp: bool = False,
 ) -> int:
-    """Rough scoped-VMEM estimate (bytes) of the BACKWARD interval kernel
-    — the VMEM-heavier of the pair. Terms:
+    """Scoped-VMEM estimate (bytes) of the BACKWARD interval kernel — the
+    VMEM-heavier of the pair. Every VMEM buffer is (8,128)-tile padded
+    (sublane/lane), matching the TPU layouts Mosaic allocates. Terms:
 
     - substep-state scratch: (S,7,B,et) + (S,6,B,et)
-    - sequence blocks, double-buffered across the env grid: tgt in + dtgt
-      out [+ act/dact] [+ res/dres]
-    - a fixed allowance for the static consts (lane-major (B,Cm) contact
-      blocks, (3,B,n_qd) selectors) and the per-group (Cm,et) contact-vjp
-      temporaries (~20 live planes measured for laikago).
+    - env-grid-tiled sequence blocks, double-buffered: tgt in + dtgt out
+      [+ act/dact] [+ res/dres]
+    - state IO blocks (bq/bqd/dq/dqd in, dbq0/dbqd0 out), double-buffered
+    - traced parameter planes in + dg out (lane-1 planes still occupy a
+      full 128-lane tile; with_xp adds the 10 anchor rows)
+    - exact-ish padded static consts (selectors, masks, anchors, limits,
+      lane-major (B,Cm) contact blocks)
+    - an allowance for the per-group (Cm,et) contact-vjp temporaries and
+      (B,et) joint-vjp residuals (~24/~30 live planes, laikago trace)
 
-    Calibrated against Mosaic's own scoped-vmem error messages
-    (laikago/quad, 2026-08-17); used by :func:`plan_chunks` to split
-    frame intervals that cannot fit, not as a hard guarantee.
+    Calibrated against Mosaic's scoped-vmem OOM reports: quad 60 Hz
+    single-kernel actual 16.62 MB vs 18.7 MB here, laikago 60 Hz fits at
+    8.8 MB here (runs, 2026-08-17). Used by :func:`plan_chunks` to split
+    frame intervals that cannot fit — a safety-margined estimate, not a
+    guarantee.
     """
     S, et = substeps, e_tile
-    scratch = S * 13 * B * et * 4
-    seq = 2 * 2 * S * n_qd * et * 4  # tgt + dtgt, double-buffered
+    f = 4  # fp32 bytes
+    Bp = _pad(B, 8)
+    qp = _pad(n_qd, 8)
+    lane = _pad(max(contacts_cm, 1), 128)
+    scratch = S * 13 * Bp * et * f
+    seq = 2 * 2 * S * qp * et * f  # tgt + dtgt, double-buffered
     if with_act:
         seq *= 2
     if with_res:
-        seq += 2 * 2 * S * 6 * B * et * 4
-    consts = 4 * (B * B + 3 * B * n_qd) * 4 + 8 * B * contacts_cm * 4
-    temps = 24 * contacts_cm * et * 4 + 30 * B * et * 4
-    return scratch + seq + consts + temps
+        seq += 2 * 2 * S * 6 * Bp * et * f
+    stateio = 2 * (2 * 13 + 13) * Bp * et * f
+    tr_rows = 25 + (10 if with_xp else 0)  # gains 6 + inv_m 1 + inertias 18 [+ xp 10]
+    traced = 2 * 2 * tr_rows * Bp * max(et, 128) * f
+    statics = (
+        36 * Bp * 128 * f  # masks(4) + anchor/axis/com planes(20) + lim(12)
+        + 2 * Bp * _pad(B, 128) * f  # P_gather / P_scatter
+        + 3 * Bp * _pad(n_qd, 128) * f  # D selectors
+        + 8 * Bp * lane * f  # cpt_bm / cdist_bm / cmat_bm
+    )
+    temps = 24 * lane * et * f + 30 * Bp * et * f
+    return scratch + seq + stateio + traced + statics + temps
 
 
 def plan_chunks(
     substeps: int, B: int, n_qd: int, e_tile: int,
     with_res: bool = False, with_act: bool = True,
-    contacts_cm: int = 64, budget: int = 14 * 2 ** 20,
+    contacts_cm: int = 64, budget: int = VMEM_LIMIT - 12 * 2 ** 20,
+    with_xp: bool = False,
 ):
     """Split a frame interval of ``substeps`` into the fewest near-equal
     kernel chunks whose backward-kernel VMEM estimate fits the budget
-    (v5e scoped VMEM is 16 MB; default leaves 2 MB headroom). Returns a
-    list of chunk sizes summing to ``substeps`` (length 1 = no split)."""
+    (the kernels request VMEM_LIMIT of the 128 MB physical; default
+    leaves 12 MB headroom for Mosaic's own temporaries beyond the
+    estimate). With the raised cap the common template x rate grid fits
+    in ONE kernel — splits only kick in for extreme (substeps x e_tile)
+    products. Returns a list of chunk sizes summing to ``substeps``
+    (length 1 = no split)."""
     for n in range(1, substeps + 1):
         hi = -(-substeps // n)
         if estimate_interval_vmem(
-            hi, B, n_qd, e_tile, with_res, with_act, contacts_cm
+            hi, B, n_qd, e_tile, with_res, with_act, contacts_cm,
+            with_xp=with_xp,
         ) <= budget:
             base = substeps // n
             rem = substeps - base * n
             return [base + 1] * rem + [base] * (n - rem)
     return [1] * substeps
+
+
+def pick_e_tile(
+    substeps: int, B: int, n_qd: int,
+    with_res: bool = False, with_act: bool = True,
+    contacts_cm: int = 64, with_xp: bool = False,
+) -> int:
+    """Auto env-tile: the largest e_tile in {512, 256, 128} whose
+    backward still plans as a SINGLE kernel. Measured on v5e (1024 envs,
+    train fwd+bwd): throughput rises monotonically with tile size while
+    single-kernel — laikago 60 Hz 1.49/1.79/1.87M env-steps/s at
+    128/256/512 — and dips past it (1.81M at 1024); chunked plans lose
+    the larger tile's gain to the chunk-boundary HBM round-trips."""
+    for et in (512, 256):
+        if plan_chunks(
+            substeps, B, n_qd, et, with_res, with_act, contacts_cm,
+            with_xp=with_xp,
+        ) == [substeps]:
+            return et
+    return 128
 
 
 def make_diff_chain(
@@ -462,6 +543,7 @@ def make_diff_chain(
             )
         return bq, bqd
 
+    chain.with_xp = fns[chunk_sizes[0]].with_xp
     return chain
 
 
@@ -496,19 +578,27 @@ def rollout_soa(
     n_intervals = (S - 1) // sub
     assert S == n_intervals * sub + 1, (S, sub)
 
+    with_xp = getattr(params, "joint_X_p", None) is not None
     if interval_fn is None:
         model = integrator.model
         chunks = plan_chunks(
             sub, model.n_links, model.n_qd, e_tile,
-            with_res=with_res, with_act=with_act,
+            with_res=with_res, with_act=with_act, with_xp=with_xp,
         )
         interval_fn = make_diff_chain(
             integrator, dt, sub, chunk_sizes=chunks,
             e_tile=e_tile, interpret=interpret,
-            with_res=with_res, with_act=with_act,
+            with_res=with_res, with_act=with_act, with_xp=with_xp,
+        )
+    else:
+        assert getattr(interval_fn, "with_xp", False) == with_xp, (
+            "interval_fn built with with_xp=%s but params.joint_X_p is %s"
+            % (getattr(interval_fn, "with_xp", False),
+               "live" if with_xp else "None")
         )
     planes = traced_planes(integrator.model, params)
-    tr = (planes["gains"], planes["inv_m"], planes["inertia"], planes["inv_inertia"])
+    tr_names = TRACED_NAMES + (XP_NAMES if with_xp else ())
+    tr = tuple(planes[n] for n in tr_names)
 
     # plane layouts for the scan inputs
     tgt_p = joint_targets.transpose(0, 2, 1)  # (S, n_qd, E)

@@ -45,7 +45,7 @@ DEFAULT_OPTS = dict(
     mesh_shape=None,  # {"dp": 4, "tp": 2} or "dp=4,tp=2"; None = auto dp
     phys_engine="auto",  # soa | xla | auto (soa on TPU)
     contact_mode="hull",  # hull | all | hull:<margin>
-    soa_e_tile=128,
+    soa_e_tile=0,  # 0 = auto: largest single-kernel tile (pick_e_tile)
     soa_ksub=0,  # substeps per pallas call; 0 = auto VMEM plan
     soa_with_res=False,
     soa_with_act=False,

@@ -371,12 +371,16 @@ def test_rollout_soa_chunked_interval(setup):
 
 
 def test_plan_chunks_budget():
-    """The VMEM planner: fits-in-one for the laikago cases, splits for
-    the big-template / 24 Hz cases, always partitions exactly."""
+    """The VMEM planner under the raised Mosaic cap (VMEM_LIMIT): the
+    whole template x rate grid fits in ONE kernel; splits kick in only
+    for extreme substeps x e_tile products; partitions are always exact
+    and near-equal."""
+    from ppr_diffphys_tpu.sim.pallas_soa import VMEM_LIMIT
     from ppr_diffphys_tpu.sim.pallas_soa_grad import (
         estimate_interval_vmem, plan_chunks,
     )
 
+    budget = VMEM_LIMIT - 12 * 2 ** 20
     for sub, B, n_qd in [(33, 13, 18), (83, 13, 18), (33, 26, 81),
                          (83, 26, 81), (83, 19, 60)]:
         chunks = plan_chunks(sub, B, n_qd, 128, with_act=False)
@@ -384,9 +388,15 @@ def test_plan_chunks_budget():
         assert max(chunks) - min(chunks) <= 1  # near-equal
         assert estimate_interval_vmem(
             max(chunks), B, n_qd, 128, with_act=False
-        ) <= 14 * 2 ** 20
-    # laikago 60 Hz stays a single kernel (the round-2 fast path)
-    assert plan_chunks(33, 13, 18, 128, with_act=False) == [33]
+        ) <= budget
+        # the production grid runs as a single kernel per interval
+        assert chunks == [sub], (sub, B, n_qd, chunks)
+    # an extreme case must still split exactly
+    big = plan_chunks(400, 26, 81, 256, with_act=False)
+    assert len(big) > 1 and sum(big) == 400 and max(big) - min(big) <= 1
+    assert estimate_interval_vmem(
+        max(big), 26, 81, 256, with_act=False
+    ) <= budget
 
 
 def test_rollout_soa_observables_match_xla(setup):
@@ -410,3 +420,134 @@ def test_rollout_soa_observables_match_xla(setup):
     np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(grf2), np.asarray(grf1), atol=2e-2)
     np.testing.assert_allclose(np.asarray(jaf2), np.asarray(jaf1), atol=2e-2)
+
+
+def test_rollout_soa_live_joint_xp(setup):
+    """Per-env live joint_X_p (the lab4d query_ja override, reference
+    dp_interface.py:438-466) as traced XP_NAMES planes through the
+    differentiable pallas path: values and gradients — including
+    d(loss)/d(joint_X_p), which flows back into the kinematics-proxy
+    MLPs in lab4d mode — match jax.grad through the XLA rollout."""
+    model, integ, norm_I = setup
+    E, sub, F = 4, 2, 2
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F, seed=7)
+    res = jnp.zeros_like(res)
+    ke0 = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    # per-env anchor perturbation: translation jitter + renormalized quat
+    # jitter on every non-root joint (the shapes query_ja produces)
+    rng = np.random.RandomState(2)
+    xp = np.tile(np.asarray(model.joint_X_p, np.float32)[None], (E, 1, 1))
+    xp[:, 1:, 0:3] += rng.randn(E, model.n_links - 1, 3).astype(np.float32) * 5e-3
+    xp[:, 1:, 3:7] += rng.randn(E, model.n_links - 1, 4).astype(np.float32) * 1e-2
+    xp[..., 3:7] /= np.linalg.norm(xp[..., 3:7], axis=-1, keepdims=True)
+    xp0 = jnp.asarray(xp)
+
+    def mk(roll_fn):
+        def f(xp, tgt, bq0):
+            p = _make_params(norm_I, ke0, kd0, mass0)._replace(joint_X_p=xp)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True,
+            with_res=False,
+        )
+    )
+    args = (xp0, tgt, body_q)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=1e-4)
+    g1 = jax.grad(xla, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(soa, argnums=(0, 1, 2))(*args)
+    for n, a, b in zip(["joint_X_p", "tgt", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
+def test_rollout_soa_shared_joint_xp(setup):
+    """Shared (B,7) joint_X_p override -> lane-1 XP planes whose
+    gradients accumulate across env tiles (same machinery as the shared
+    PD-gain planes)."""
+    model, integ, norm_I = setup
+    E, sub, F = 4, 2, 2
+    body_q, body_qd, tgt, act, res, wq, wqd = _problem(model, E, sub, F, seed=9)
+    res = jnp.zeros_like(res)
+    ke0 = jnp.concatenate([jnp.zeros(6), 220.0 * jnp.ones(12)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 2.0 * jnp.ones(12)])
+    mass0 = jnp.asarray(model.body_mass)
+    xp0 = jnp.asarray(model.joint_X_p, jnp.float32)  # (B, 7)
+
+    def mk(roll_fn):
+        def f(xp, bq0):
+            p = _make_params(norm_I, ke0, kd0, mass0)._replace(joint_X_p=xp)
+            q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt, act, res)
+            return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+        return f
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(
+        lambda p, s, t, a, r: rollout_soa(
+            integ, p, s, t, a, r, 5e-4, sub, e_tile=2, interpret=True,
+            with_res=False,
+        )
+    )
+    args = (xp0, body_q)
+    np.testing.assert_allclose(float(xla(*args)), float(soa(*args)), rtol=1e-4)
+    g1 = jax.grad(xla, argnums=(0, 1))(*args)
+    g2 = jax.grad(soa, argnums=(0, 1))(*args)
+    for n, a, b in zip(["joint_X_p_shared", "bq0"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg="grad mismatch: " + n
+        )
+
+
+@pytest.mark.slow
+def test_quad_serving_window_param_swap():
+    """build_soa_window on quad (the serving kernel): the identified
+    parameter planes are traced per-call inputs, so two different
+    checkpoints' params flow through the SAME kernel instance — no
+    rebuild — and produce different, finite trajectories (reference
+    serving semantics: params are tensors fed to fixed CUDA kernels,
+    dp_model.py:1145-1248)."""
+    from ppr_diffphys_tpu.sim.pallas_soa import build_soa_window, traced_planes
+
+    model, integ, norm_I = _build_template(
+        "/root/reference/data/urdf_templates/quad.urdf", 660.0, 5.0, 0.05
+    )
+    E, sub, F = 2, 2, 3
+    S = sub * (F - 1) + 1
+    rng = np.random.RandomState(4)
+    qs = np.tile(np.array(model.joint_q_init, np.float32)[None], (E, 1))
+    qs[:, 1] += rng.uniform(-0.02, 0.01, E).astype(np.float32)
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    st = SimState(body_q, body_qd)
+    tgt = jnp.asarray(rng.randn(S, E, model.n_qd) * 0.1, jnp.float32)
+    act = jnp.zeros_like(tgt)
+    ke0 = jnp.concatenate([jnp.zeros(6), 660.0 * jnp.ones(model.n_qd - 6)])
+    kd0 = jnp.concatenate([jnp.zeros(6), 5.0 * jnp.ones(model.n_qd - 6)])
+    mass0 = jnp.asarray(model.body_mass)
+    p1 = _make_params(norm_I, ke0, kd0, mass0)
+    p2 = _make_params(norm_I, ke0 * 1.5, kd0, mass0 * 2.0)
+
+    kern = build_soa_window(integ, p1, 5e-4, sub, F, e_tile=2, interpret=True)
+    q1, _, _, _ = kern(st, tgt, act)  # build-time default planes (ckpt 1)
+    q2, _, _, _ = kern(st, tgt, act, planes=traced_planes(model, p2))
+    q1, q2 = np.asarray(q1), np.asarray(q2)
+    assert np.isfinite(q1).all() and np.isfinite(q2).all()
+    assert np.abs(q1[0] - q2[0]).max() < 1e-6  # same initial frame state
+    assert np.abs(q1[-1] - q2[-1]).max() > 1e-5  # dynamics actually differ
+    # and the swapped-in params reproduce the XLA rollout exactly
+    qx, _, _, _ = rollout(
+        integ, p2, st, tgt, act,
+        jnp.zeros((S, E, model.n_links, 6), jnp.float32), 5e-4, sub,
+    )
+    np.testing.assert_allclose(q2, np.asarray(qx), atol=2e-5)
