@@ -256,3 +256,39 @@ def test_rollout_server_checkpoint_swap_no_recompile(tmp_path):
     assert fn_before._cache_size() == 1  # and not retraced
     assert np.isfinite(out2).all()
     assert np.abs(out1 - out2).max() > 1e-5  # new params actually applied
+
+
+def test_resolve_engine_auto_policy(model):
+    """The measured 'auto' engine routing (BENCHMARKS.md round 3):
+    TPU training -> soa, except quad-shaped models (many dofs, sparse
+    contacts) -> XLA; eval and CPU -> XLA; explicit flags win."""
+    import types
+
+    m = types.SimpleNamespace()  # a phys_model shell with just the bits
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+
+    resolve = phys_model.resolve_engine
+
+    def mk(n_qd, contact_count, n_links, engine="auto"):
+        m.opts = {"phys_engine": engine}
+        m.env = types.SimpleNamespace(
+            n_qd=n_qd, contact_count=contact_count, n_links=n_links
+        )
+        return m
+
+    import unittest.mock as mock
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        # laikago-shaped: dense contacts -> soa
+        assert resolve(mk(18, 1454, 13), is_train=True) == "soa"
+        # human-shaped: sparse contacts but n_qd < 60 -> soa
+        assert resolve(mk(57, 152, 19), is_train=True) == "soa"
+        # quad-shaped: many dofs + sparse contacts -> xla
+        assert resolve(mk(81, 208, 26), is_train=True) == "xla"
+        # eval stays on xla
+        assert resolve(mk(18, 1454, 13), is_train=False) == "xla"
+        # explicit flag always wins
+        assert resolve(mk(81, 208, 26, engine="soa"), is_train=True) == "soa"
+        assert resolve(mk(18, 1454, 13, engine="xla"), is_train=True) == "xla"
+    with mock.patch("jax.default_backend", return_value="cpu"):
+        assert resolve(mk(18, 1454, 13), is_train=True) == "xla"
