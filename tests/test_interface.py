@@ -187,3 +187,52 @@ def test_human_template_interface_forward():
     assert np.isfinite(float(out["total_loss"]))
     gd = m.update()
     assert any(k.startswith("grad/") for k in gd)
+
+
+def test_interface_soa_engine_matches_xla():
+    """VERDICT round-2 weak #10 closure at the MODEL level: the lab4d
+    interface forward (live per-env joint_X_p from query_ja) produces the
+    same loss and gradients on the soa engine — where the anchors ride as
+    traced XP kernel planes (with_xp) — as on the XLA engine. Human
+    template (a reference lab4d robot, so kp_links exist) with a short
+    frame interval to keep the interpret-mode kernel cost test-sized."""
+    from ppr_diffphys_tpu.data.robot import URDFRobot
+    from ppr_diffphys_tpu.models.fields import (
+        CameraField,
+        IntrinsicsField,
+        ObjectField,
+    )
+    from ppr_diffphys_tpu.models.interface import phys_interface
+
+    outs = {}
+    for engine in ("xla", "soa"):
+        rng = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(rng)
+        offsets = [0, 10]
+        robot = URDFRobot("/root/reference/data/urdf_templates/human.urdf")
+        obj = ObjectField(offsets, robot, k1)
+        scn = CameraField(offsets, k2, name="scene_field")
+        intr = IntrinsicsField(offsets)
+        opts = build_opts(
+            urdf_template="human", num_rounds=1, iters_per_round=2,
+            logroot="/tmp/ppr_iface_soa", pos_distill_wt=0.1,
+            phys_vid=[0], noise_std=0.0,
+        )
+        opts["phys_engine"] = engine
+        m = phys_interface(opts, dict(
+            scene_field=(scn, scn.init_params),
+            object_field=(obj, obj.init_params),
+            intrinsics=(intr, intr.init_params),
+            frame_interval=4 * 5e-4,  # 4 substeps/frame
+            frame_info=None,
+        ))
+        assert m.has_live_xp
+        m.reinit_envs(2, frames_per_wdw=2, is_eval=False)
+        m.rng = jax.random.PRNGKey(7)
+        out = m.forward(frame_start=np.zeros(2))
+        gnorm = m._grad_accum[-1][2]
+        outs[engine] = (float(out["total_loss"]), float(gnorm))
+    l_x, g_x = outs["xla"]
+    l_s, g_s = outs["soa"]
+    np.testing.assert_allclose(l_s, l_x, rtol=2e-4)
+    np.testing.assert_allclose(g_s, g_x, rtol=2e-3)
