@@ -46,3 +46,30 @@ def test_main_cli_end_to_end(tmp_path):
     # tensorboard event file
     assert any(f.startswith("events.out.tfevents") for f in files), sorted(files)
     assert "best checkpoint by full-sequence eval" in out.stdout + out.stderr
+
+
+@pytest.mark.slow
+def test_main_cli_multi_seed_selection(tmp_path):
+    """--num_seeds trains independent seeds and reports the best by
+    full-sequence eval (the shipped 24 Hz recipe, docs/24hz_adjudication.md)."""
+    env = dict(os.environ)
+    env["PPR_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--seqname", "mi-pace", "--logname", "ms",
+            "--logroot", str(tmp_path),
+            "--num_rounds", "1", "--iters_per_round", "1",
+            "--noise_std", "0", "--num_seeds", "2",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    text = out.stdout + out.stderr
+    assert "multi-seed selection: best seed" in text
+    # one logdir per seed, each with its eval-selected checkpoint
+    for k in (0, 1):
+        d = os.path.join(str(tmp_path), "mi-pace-ms-s%d" % k)
+        assert os.path.isdir(d), sorted(os.listdir(str(tmp_path)))
+        assert "ckpt_phys_best.pth" in os.listdir(d)
