@@ -551,3 +551,24 @@ def test_quad_serving_window_param_swap():
         jnp.zeros((S, E, model.n_links, 6), jnp.float32), 5e-4, sub,
     )
     np.testing.assert_allclose(q2, np.asarray(qx), atol=2e-5)
+
+
+def test_pick_e_tile_template_grid():
+    """Pin the auto env-tile choices for the production template x rate
+    grid (BENCHMARKS.md round 3: tiles measured faster while
+    single-kernel; 24 Hz big templates drop to 256)."""
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import pick_e_tile, plan_chunks
+
+    grid = {
+        (33, 13, 18): 512,  # laikago 60 Hz (measured 1.87M env-steps/s)
+        (83, 13, 18): 512,  # laikago 24 Hz
+        (33, 26, 81): 512,  # quad 60 Hz
+        (83, 26, 81): 256,  # quad 24 Hz
+        (33, 19, 57): 512,  # human 60 Hz (measured 3.39M)
+        (83, 19, 57): 256,  # human 24 Hz (measured 2.96M)
+    }
+    for (sub, B, n_qd), want in grid.items():
+        et = pick_e_tile(sub, B, n_qd, with_act=False)
+        assert et == want, ((sub, B, n_qd), et, want)
+        # the chosen tile really is single-kernel
+        assert plan_chunks(sub, B, n_qd, et, with_act=False) == [sub]
