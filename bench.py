@@ -93,7 +93,26 @@ def _profiled_busy(run_once, steady_wall=None):
 
 
 def main():
+    # fail fast (instead of hanging for the caller's whole timeout) when
+    # the TPU tunnel is down: device discovery blocks forever then
+    import threading
+
+    def _die():
+        sys.stderr.write(
+            "FATAL: jax device init did not complete in 180 s "
+            "(TPU tunnel down?)\n"
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    _wd = threading.Timer(180.0, _die)
+    _wd.daemon = True
+    _wd.start()
+
     import jax
+
+    jax.devices()
+    _wd.cancel()
     import jax.numpy as jnp
 
     from ppr_diffphys_tpu.sim.builder import ModelBuilder
