@@ -1070,12 +1070,24 @@ class phys_model:
             # processes, and it is pure overhead anyway.)
             grads, norms_dev, gnorm_dev = self._grad_accum[0]
         else:
-            grads = jax.tree.map(
-                lambda *g: sum(g) / n, *[a[0] for a in self._grad_accum]
-            )
-            gnorm_dev = sum(a[2] for a in self._grad_accum) / n
-            norms_dev = {k: sum(a[1][k] for a in self._grad_accum) / n
-                         for k in self._grad_accum[0][1]}
+            # accu_steps > 1: average inside ONE jitted program (per-leaf
+            # eager adds on sharded arrays are both slow and the op class
+            # that tripped the XLA:CPU abort above)
+            cache = getattr(self, "_accum_jit", None)
+            if cache is None:
+                cache = self._accum_jit = {}
+            if n not in cache:
+                def _avg(accum, n=n):
+                    grads = jax.tree.map(
+                        lambda *g: sum(g) / n, *[a[0] for a in accum]
+                    )
+                    gnorm = sum(a[2] for a in accum) / n
+                    norms = {k: sum(a[1][k] for a in accum) / n
+                             for k in accum[0][1]}
+                    return grads, norms, gnorm
+
+                cache[n] = jax.jit(_avg)
+            grads, norms_dev, gnorm_dev = cache[n](self._grad_accum)
         # ONE host transfer for all grad statistics (each float() would be a
         # separate device->host round trip — expensive over the TPU tunnel)
         gnorm, norms = jax.device_get((gnorm_dev, norms_dev))

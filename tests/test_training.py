@@ -292,3 +292,22 @@ def test_resolve_engine_auto_policy(model):
         assert resolve(mk(18, 1454, 13, engine="xla"), is_train=True) == "xla"
     with mock.patch("jax.default_backend", return_value="cpu"):
         assert resolve(mk(18, 1454, 13), is_train=True) == "xla"
+
+
+def test_gradient_accumulation_update(model):
+    """accu_steps > 1: two forwards accumulate, update averages them in
+    one jitted program (reference main.py:96-99 accumulation loop) and
+    applies a finite step."""
+    before = jax.tree.map(np.asarray, model.params)
+    model.forward()
+    model.forward()
+    assert len(model._grad_accum) == 2
+    grad_dict = model.update()
+    assert model._grad_accum == []
+    assert grad_dict and all(np.isfinite(v) for v in grad_dict.values())
+    after = model.params
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before))
+    )
+    assert moved
