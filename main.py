@@ -230,6 +230,11 @@ def main(_):
 
     # multi-seed selection (the 24 Hz recipe): N independent runs, best
     # full-sequence eval wins (docs/24hz_adjudication.md seed study)
+    if not opts.get("eval_selection", True):
+        raise SystemExit(
+            "--num_seeds>1 requires --eval_selection: without per-round "
+            "eval scores there is nothing to select the best seed by"
+        )
     results = []
     base_logname = opts["logname"]
     base_seed = opts["seed"]
@@ -239,12 +244,14 @@ def main(_):
         o["logname"] = "%s-s%d" % (base_logname, k)
         score, path = train_one(o)
         results.append((score, o["seed"], path))
-        print("seed %d: eval traj %.4f" % (o["seed"], score))
-    results.sort(key=lambda r: (r[0] is None, r[0]))
+        print("seed %d: eval traj %s" % (
+            o["seed"], "%.4f" % score if score is not None else "n/a"))
+    results.sort(
+        key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0.0))
     score, seed, path = results[0]
     print(
-        "multi-seed selection: best seed %d (eval traj %.4f), checkpoint %s"
-        % (seed, score, path)
+        "multi-seed selection: best seed %d (eval traj %s), checkpoint %s"
+        % (seed, "%.4f" % score if score is not None else "n/a", path)
     )
 
 

@@ -277,7 +277,9 @@ def fit_camera_mlp(
         (p, s), ls = jax.lax.scan(body, (p, s), None, length=CHUNK)
         return p, s, ls[-1]
 
-    for _ in range(max(1, max_iters // CHUNK)):
+    # ceil division: the budget is honored by rounding UP to CHUNK
+    # multiples (max_iters=250 runs 300, never fewer than requested)
+    for _ in range(max(1, -(-max_iters // CHUNK))):
         params, opt_state, loss = run_chunk(params, opt_state)
         if float(loss) < termination_loss:
             break

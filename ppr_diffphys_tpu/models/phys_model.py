@@ -531,7 +531,7 @@ class phys_model:
         # the reference-exact upper-only adjoint clamp
         quirks = bool(self.opts.get("ref_quirks", False))
         scrub = scrub_grad_ref if quirks else scrub_grad
-        engine = self.resolve_engine(has_xp=xp is not None, is_train=is_train)
+        engine = self.resolve_engine(is_train=is_train)
         if engine == "soa":
             # differentiable pallas megakernel path (pallas_soa_grad):
             # one VMEM-resident kernel per frame interval, forward and
@@ -723,7 +723,7 @@ class phys_model:
             jax.device_put(weights, r),
         )
 
-    def resolve_engine(self, has_xp=False, is_train=True):
+    def resolve_engine(self, is_train=True):
         """Resolve opts['phys_engine'] ('auto' default: the differentiable
         pallas megakernel for TPU training, the XLA scan elsewhere).
 

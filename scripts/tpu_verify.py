@@ -1,0 +1,258 @@
+"""On-chip (Mosaic-COMPILED) soa-vs-XLA gradient parity -> JSON artifact.
+
+Closes VERDICT round-3 Weak #2: every pallas-grad test runs interpret-mode
+on CPU; this script runs the same parity cases compiled on the real TPU
+chip (interpret=False), so the polynomial transcendentals
+(ops/kernel_math.py), fp32 fusion order, and the raised-VMEM-cap
+single-kernel plans are pinned by a committed artifact instead of
+uncommitted session logs.
+
+Cases (mirroring tests/test_pallas_grad.py, scaled to production tiles):
+  - laikago_full:   all 8 grad inputs incl. act/res buffers
+  - laikago_xp:     per-env live joint_X_p planes (the lab4d override)
+  - quad, human:    big templates, COMPOUND joint branch, production flags
+
+Usage: python scripts/tpu_verify.py --out docs/results/round4/tpu_verify.json
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _init_devices():
+    import threading
+
+    def _die():
+        sys.stderr.write("FATAL: jax device init hang (tunnel down?)\n")
+        os._exit(3)
+
+    wd = threading.Timer(180.0, _die)
+    wd.daemon = True
+    wd.start()
+    import jax
+
+    jax.devices()
+    wd.cancel()
+    return jax
+
+
+def build(urdf, xform_y, stiffness, damping, attach_ke):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ppr_diffphys_tpu.sim.builder import ModelBuilder
+    from ppr_diffphys_tpu.sim.import_urdf import parse_urdf
+    from ppr_diffphys_tpu.sim.integrator import SemiImplicitIntegrator
+
+    b = ModelBuilder()
+    parse_urdf(
+        urdf, b, xform_p=(0, xform_y, 0), floating=True, density=1000,
+        armature=0.01, stiffness=stiffness, damping=damping, shape_ke=1e4,
+        shape_kd=0, shape_kf=1e2, shape_mu=1, limit_ke=0, limit_kd=0,
+    )
+    model = b.finalize().make_ground_contacts("hull")
+    model.joint_attach_ke, model.joint_attach_kd = attach_ke, 200.0
+    integ = SemiImplicitIntegrator(model)
+    norm_I = jnp.asarray(
+        np.asarray(model.body_inertia)
+        / np.asarray(model.body_mass)[:, None, None]
+    )
+    return model, integ, norm_I
+
+
+def run_case(name, model, integ, norm_I, kp, kv, E, sub, F, e_tile,
+             with_res, with_act, live_xp=False):
+    """Returns a result dict with normalized grad diffs soa(compiled) vs
+    XLA, both on the TPU."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ppr_diffphys_tpu.sim.kinematics import eval_fk
+    from ppr_diffphys_tpu.sim.integrator import SimParams, SimState, rollout
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import (
+        make_diff_chain, plan_chunks, rollout_soa,
+    )
+
+    t0 = time.time()
+    S = sub * (F - 1) + 1
+    rng = np.random.RandomState(0)
+    qs = np.tile(np.array(model.joint_q_init, np.float32)[None], (E, 1))
+    qs[:, 1] += rng.uniform(-0.02, 0.01, E).astype(np.float32)
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    tgt = jnp.asarray(rng.randn(S, E, model.n_qd) * 0.1, jnp.float32)
+    act = (jnp.asarray(rng.randn(S, E, model.n_qd) * 0.05, jnp.float32)
+           if with_act else jnp.zeros((S, E, model.n_qd), jnp.float32))
+    res = (jnp.asarray(rng.randn(S, E, model.n_links, 6) * 0.1, jnp.float32)
+           if with_res else jnp.zeros((S, E, model.n_links, 6), jnp.float32))
+    wq = jnp.asarray(rng.randn(F, E, model.n_links, 7), jnp.float32)
+    wqd = jnp.asarray(rng.randn(F, E, model.n_links, 6), jnp.float32)
+    ke0 = jnp.concatenate([jnp.zeros(6), kp * jnp.ones(model.n_qd - 6)])
+    kd0 = jnp.concatenate([jnp.zeros(6), kv * jnp.ones(model.n_qd - 6)])
+    mass0 = jnp.asarray(model.body_mass)
+
+    if live_xp:
+        xp = np.tile(np.asarray(model.joint_X_p, np.float32)[None], (E, 1, 1))
+        xp[:, 1:, 0:3] += rng.randn(E, model.n_links - 1, 3).astype(np.float32) * 5e-3
+        xp[:, 1:, 3:7] += rng.randn(E, model.n_links - 1, 4).astype(np.float32) * 1e-2
+        xp[..., 3:7] /= np.linalg.norm(xp[..., 3:7], axis=-1, keepdims=True)
+        xp0 = jnp.asarray(xp)
+
+    def make_params(ke, kd, mass, xp=None):
+        I = norm_I * mass[:, None, None]
+        p = SimParams(
+            body_mass=mass, body_inv_mass=1.0 / mass,
+            body_inertia=I, body_inv_inertia=jnp.linalg.inv(I),
+            joint_target_ke=ke, joint_target_kd=kd,
+        )
+        return p._replace(joint_X_p=xp) if xp is not None else p
+
+    interp = bool(os.environ.get("PPR_VERIFY_INTERPRET"))  # CPU smoke only
+    chunks = plan_chunks(sub, model.n_links, model.n_qd, e_tile,
+                         with_res=with_res, with_act=with_act,
+                         with_xp=live_xp)
+    ivf = make_diff_chain(
+        integ, 5e-4, sub, chunk_sizes=chunks, e_tile=e_tile,
+        with_res=with_res, with_act=with_act, with_xp=live_xp,
+        interpret=interp,
+    )
+
+    if live_xp:
+        argnames = ("joint_X_p", "tgt", "bq0")
+
+        def mk(roll_fn):
+            def f(xp, tgt_, bq0):
+                p = make_params(ke0, kd0, mass0, xp=xp)
+                q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt_, act, res)
+                return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+            return f
+
+        args = (xp0, tgt, body_q)
+    else:
+        if with_act and with_res:
+            def mk(roll_fn):
+                def f(ke, kd, mass, tgt_, act_, res_, bq0, bqd0):
+                    p = make_params(ke, kd, mass)
+                    q_, qd_, _, _ = roll_fn(p, SimState(bq0, bqd0), tgt_, act_, res_)
+                    return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+                return f
+
+            args = (ke0, kd0, mass0, tgt, act, res, body_q, body_qd)
+            argnames = ("ke", "kd", "mass", "tgt", "act", "res", "bq0", "bqd0")
+        else:
+            def mk(roll_fn):
+                def f(ke, mass, tgt_, bq0):
+                    p = make_params(ke, kd0, mass)
+                    q_, qd_, _, _ = roll_fn(p, SimState(bq0, body_qd), tgt_, act, res)
+                    return jnp.sum(q_ * wq) + jnp.sum(qd_ * wqd)
+                return f
+
+            args = (ke0, mass0, tgt, body_q)
+            argnames = ("ke", "mass", "tgt", "bq0")
+
+    xla = mk(lambda p, s, t, a, r: rollout(integ, p, s, t, a, r, 5e-4, sub))
+    soa = mk(lambda p, s, t, a, r: rollout_soa(
+        integ, p, s, t, a, r, 5e-4, sub, interval_fn=ivf))
+
+    n = len(args)
+    gx_fn = jax.jit(jax.value_and_grad(xla, argnums=tuple(range(n))))
+    gs_fn = jax.jit(jax.value_and_grad(soa, argnums=tuple(range(n))))
+    vx, gx = jax.block_until_ready(gx_fn(*args))
+    t_xla = time.time() - t0
+    vs, gs = jax.block_until_ready(gs_fn(*args))
+    t_soa = time.time() - t0 - t_xla
+
+    out = {
+        "case": name,
+        "E": E, "sub": sub, "F": F, "e_tile": e_tile, "chunks": chunks,
+        "with_res": with_res, "with_act": with_act, "live_xp": live_xp,
+        "value_xla": float(vx), "value_soa": float(vs),
+        "value_rel_err": abs(float(vx) - float(vs)) / (abs(float(vx)) + 1e-12),
+        "grads": {},
+        "compile_plus_run_sec": {"xla": round(t_xla, 1), "soa": round(t_soa, 1)},
+    }
+    worst = 0.0
+    for nm, a, b in zip(argnames, gx, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.abs(a).max()) + 1e-8
+        d = float(np.abs(b - a).max()) / scale
+        out["grads"][nm] = round(d, 8)
+        worst = max(worst, d)
+    out["worst_grad_norm_diff"] = worst
+    # same tolerance as the interpret-mode suite (atol 5e-4 normalized)
+    out["pass"] = bool(worst < 5e-4 and out["value_rel_err"] < 2e-4)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/results/round4/tpu_verify.json")
+    args = ap.parse_args()
+
+    jax = _init_devices()
+    dev = str(jax.devices()[0])
+    if "Tpu" not in dev and not os.environ.get("PPR_VERIFY_ALLOW_CPU"):
+        sys.stderr.write("refusing: device is %s, not a TPU\n" % dev)
+        sys.exit(2)
+
+    LAIKAGO = "/root/reference/data/urdf_templates/laikago/laikago.urdf"
+    QUAD = "/root/reference/data/urdf_templates/quad.urdf"
+    HUMAN = "/root/reference/data/urdf_templates/human.urdf"
+
+    # CPU smoke mode (PPR_VERIFY_INTERPRET=1): tiny shapes, interpret
+    # kernels — validates the script, NOT the Mosaic compile
+    smoke = bool(os.environ.get("PPR_VERIFY_INTERPRET"))
+    E, ET, SUB, SUB24 = (4, 2, 3, 5) if smoke else (256, 128, 33, 83)
+
+    results = []
+    lk = build(LAIKAGO, 0.417, 220.0, 2.0, 16000.0)
+    results.append(run_case(
+        "laikago_full", *lk, kp=220.0, kv=2.0, E=E, sub=SUB, F=3,
+        e_tile=ET, with_res=True, with_act=True))
+    print(json.dumps(results[-1]), file=sys.stderr)
+    results.append(run_case(
+        "laikago_xp", *lk, kp=220.0, kv=2.0, E=E, sub=SUB, F=3,
+        e_tile=ET, with_res=False, with_act=False, live_xp=True))
+    print(json.dumps(results[-1]), file=sys.stderr)
+    qd = build(QUAD, 0.05, 660.0, 5.0, 8000.0)
+    results.append(run_case(
+        "quad", *qd, kp=660.0, kv=5.0, E=E, sub=SUB, F=2,
+        e_tile=ET, with_res=False, with_act=False))
+    print(json.dumps(results[-1]), file=sys.stderr)
+    hm = build(HUMAN, 0.05, 660.0, 5.0, 8000.0)
+    results.append(run_case(
+        "human_24hz", *hm, kp=660.0, kv=5.0, E=E, sub=SUB24, F=2,
+        e_tile=ET, with_res=False, with_act=False))
+    print(json.dumps(results[-1]), file=sys.stderr)
+
+    try:
+        commit = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True).strip()
+    except Exception:
+        commit = "unknown"
+    artifact = {
+        "what": "soa-vs-XLA grad parity, Mosaic-COMPILED on the real chip "
+                "(interpret=False), normalized-max-diff per grad input",
+        "device": dev,
+        "timestamp": time.strftime("%F %T"),
+        "commit": commit,
+        "all_pass": all(r["pass"] for r in results),
+        "cases": results,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"all_pass": artifact["all_pass"], "out": args.out}))
+    sys.exit(0 if artifact["all_pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,23 +25,48 @@ jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: the suite is compile-bound on small CPU
 # hosts; repeated runs hit the cache instead of recompiling
 _CACHE_DIR = "/tmp/jax_test_cache"
-_MARKER = os.path.join(_CACHE_DIR, ".suite_running")
 
 # A pytest run killed mid-compile truncates the entry being written, and
 # XLA hard-aborts ("Fatal Python error: Aborted") on deserializing it in
-# the NEXT run. Detect the dirty shutdown via a session marker and drop
-# only the entries written during that session (everything newer than the
-# stale marker) — the rest of the cache stays warm.
+# the NEXT run. Detect the dirty shutdown via a per-PID session marker
+# (a marker whose PID is dead = that session crashed) and drop only the
+# entries written during that session (everything newer than the stale
+# marker) — the rest of the cache stays warm, and a concurrently RUNNING
+# pytest session's live marker is left alone.
 os.makedirs(_CACHE_DIR, exist_ok=True)
-if os.path.exists(_MARKER):
-    t0 = os.path.getmtime(_MARKER) - 1.0
-    for _fn in os.listdir(_CACHE_DIR):
-        _p = os.path.join(_CACHE_DIR, _fn)
+_MARKER = os.path.join(_CACHE_DIR, ".suite_running.%d" % os.getpid())
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+for _fn in os.listdir(_CACHE_DIR):
+    if not _fn.startswith(".suite_running"):
+        continue
+    _mp = os.path.join(_CACHE_DIR, _fn)
+    _sfx = _fn.rsplit(".", 1)[-1]
+    if _sfx.isdigit() and _pid_alive(int(_sfx)):
+        continue  # live concurrent session — not a crash
+    try:
+        _t0 = os.path.getmtime(_mp) - 1.0
+    except OSError:
+        continue
+    for _cn in os.listdir(_CACHE_DIR):
+        _p = os.path.join(_CACHE_DIR, _cn)
         try:
-            if _fn != ".suite_running" and os.path.getmtime(_p) >= t0:
+            if not _cn.startswith(".suite_running") and os.path.getmtime(_p) >= _t0:
                 os.remove(_p)
         except OSError:
             pass
+    try:
+        os.remove(_mp)
+    except OSError:
+        pass
 with open(_MARKER, "w") as _f:
     _f.write(str(os.getpid()))
 
