@@ -70,6 +70,11 @@ flags.DEFINE_string(
     "lax.scan, 'auto' = soa on TPU / xla elsewhere (the production "
     "default)")
 flags.DEFINE_string(
+    "eval_engine", "auto",
+    "full-sequence eval engine: 'auto' = chain the training-interval soa "
+    "kernels (eval envs padded to the training width so no new Mosaic "
+    "specialization compiles), 'xla' = the lax.scan path")
+flags.DEFINE_string(
     "contact_mode", "hull",
     "ground-contact candidate set: 'hull' (convex hull per shape; exact "
     "for plane contacts, ~2.6x fewer points), 'all' (the reference's "

@@ -326,6 +326,16 @@ class phys_model:
     # envs / windows (reference dp_model.py:354-405 reinit_envs)
     # ------------------------------------------------------------------
     def reinit_envs(self, num_envs, frames_per_wdw, is_eval=False, overwrite=False):
+        # single-env eval on the soa engine is padded to the training env
+        # width so it chains the ALREADY-COMPILED training-interval
+        # kernels (VERDICT round-3 #6); duplicated deterministic envs
+        # leave every reduced loss bitwise-unchanged vs num_envs=1
+        self.eval_env_requested = None
+        if is_eval and num_envs == 1:
+            pad = self._eval_env_pad()
+            if pad > 1 and self.resolve_engine(is_train=False) == "soa":
+                self.eval_env_requested = num_envs
+                num_envs = pad
         self.num_envs = num_envs
         self.frames_per_wdw = frames_per_wdw
         self.is_eval = is_eval
@@ -725,20 +735,28 @@ class phys_model:
 
     def resolve_engine(self, is_train=True):
         """Resolve opts['phys_engine'] ('auto' default: the differentiable
-        pallas megakernel for TPU training, the XLA scan elsewhere).
+        pallas megakernel on TPU, the XLA scan elsewhere).
 
-        'auto' keeps EVAL forwards on XLA: eval is one env once per round,
-        and the whole-sequence soa specialization costs ~9 min of Mosaic
-        compile (measured on v5e, mi-pace F=39) that the persistent cache
-        does not capture — all cost, no benefit. Explicit --phys_engine
-        soa overrides. The lab4d live joint-anchor override (joint_X_p
-        traced per-env, reference dp_interface.py:438-466) runs on soa
-        too: the kernels thread the anchors as traced XP_NAMES planes
-        (``with_xp``) instead of baking them as constants."""
+        EVAL on 'auto' also rides the soa kernels (VERDICT round-3 #6) —
+        but via the SAME per-interval kernel specialization training
+        compiles, not a fresh whole-window one: ``reinit_envs`` pads the
+        single eval env up to the training env width (``_eval_env_pad``),
+        so the lane tile matches the training kernels and the eval jit
+        reuses their Mosaic artifacts instead of compiling a pathological
+        lane-1 whole-sequence kernel (~9 min measured on v5e round 3).
+        ``opts['eval_engine']='xla'`` restores the old routing. The lab4d
+        live joint-anchor override (joint_X_p traced per-env, reference
+        dp_interface.py:438-466) runs on soa too: the kernels thread the
+        anchors as traced XP_NAMES planes (``with_xp``)."""
         eng = self.opts.get("phys_engine", "auto") or "auto"
         if eng == "auto":
             on_tpu = jax.default_backend() == "tpu"
-            eng = "soa" if (on_tpu and is_train) else "xla"
+            if not is_train and (
+                not on_tpu
+                or (self.opts.get("eval_engine", "auto") or "auto") == "xla"
+            ):
+                return "xla"
+            eng = "soa" if on_tpu else "xla"
             # measured exception (BENCHMARKS round 3, 1024 envs, v5e):
             # the quad-class workload — many dofs, sparse contacts —
             # trains 5-16% faster on the XLA scan (2.15M vs 2.05M
@@ -751,6 +769,14 @@ class phys_model:
             ):
                 eng = "xla"
         return eng
+
+    def _eval_env_pad(self):
+        """Env width full-sequence eval is padded to on the soa engine:
+        the training window's env count, so the eval rollout instantiates
+        the exact per-interval kernel shapes training already compiled
+        (lane tile = pick_tile(E_train, e_tile)). Deterministic eval of
+        identical duplicated envs leaves every reduced loss unchanged."""
+        return max(1, int(self.opts.get("num_envs", 1)))
 
     def _soa_e_tile(self, with_xp=False):
         """opts['soa_e_tile'], or (0 = auto, the default) the largest
@@ -872,8 +898,19 @@ class phys_model:
         self.rng, k1, k2 = jax.random.split(self.rng, 3)
         if frame_start is None:
             frame_start = self.compute_frame_start(k1)
+            if self.eval_env_requested:
+                # padded eval (see reinit_envs): all duplicates start
+                # where the single requested env would
+                frame_start = jnp.broadcast_to(
+                    frame_start[:1], (self.num_envs,)
+                )
         else:
-            frame_start = jnp.asarray(frame_start[: self.num_envs], jnp.float32)
+            frame_start = jnp.asarray(frame_start, jnp.float32)
+            if self.eval_env_requested and frame_start.shape[0] < self.num_envs:
+                frame_start = jnp.broadcast_to(
+                    frame_start[:1], (self.num_envs,)
+                )
+            frame_start = frame_start[: self.num_envs]
 
         w = self._weights_vec()
         prog = jnp.float32(self.progress)

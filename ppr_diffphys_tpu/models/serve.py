@@ -26,13 +26,32 @@ from .phys_model import phys_model
 
 
 class RolloutServer:
-    def __init__(self, opts, num_envs=1024, frames=None, engine="soa", e_tile=128):
+    def __init__(self, opts, num_envs=1024, frames=None, engine="auto",
+                 e_tile=0):
         self.opts = opts
         dataloader = DataLoader(opts)
         self.model = phys_model(opts, dataloader)
         self.num_envs = num_envs
         self.frames = frames or self.model.total_frames
+        # 'auto' serving engine: the forward megakernel on TPU, the XLA
+        # scan elsewhere. Unlike training-eval (resolve_engine keeps one
+        # lone eval on XLA to dodge a ~9 min whole-window Mosaic compile),
+        # a server builds its kernel ONCE and amortizes it over every
+        # rollout — so TPU serving always takes the fast engine.
+        if engine == "auto":
+            engine = "soa" if jax.default_backend() == "tpu" else "xla"
         self.engine = engine
+        # e_tile 0 = auto: the largest single-grid-step tile whose
+        # forward-window VMEM estimate fits (training showed throughput
+        # rises monotonically with tile size while it fits; the old fixed
+        # 128 left measured gains on the table — VERDICT round-3 #3)
+        if not e_tile:
+            from ..sim.pallas_soa import pick_window_e_tile
+
+            m = self.model
+            e_tile = pick_window_e_tile(
+                m.steps_per_fr_interval, m.env.n_links, m.env.n_qd
+            )
         self.e_tile = e_tile
         self.model.reinit_envs(num_envs, frames_per_wdw=self.frames, is_eval=True)
         self._fn = None

@@ -61,6 +61,50 @@ def pick_tile(E: int, e_tile: int) -> int:
     return E
 
 
+def _pad8_128(d: int, m: int) -> int:
+    return -(-d // m) * m
+
+
+def estimate_window_vmem(
+    substeps: int, B: int, n_qd: int, e_tile: int, contacts_cm: int = 64
+) -> int:
+    """Scoped-VMEM estimate (bytes) of one ``build_soa_window`` grid step
+    (FORWARD-only; no per-substep state scratch — the carry is 13 rows).
+    Mirrors pallas_soa_grad.estimate_interval_vmem's accounting style
+    ((8,128)-tile padding, same static-constant terms); the dominant term
+    is the double-buffered per-frame (sub, n_qd, et) target/act blocks.
+    """
+    et, f = e_tile, 4
+    Bp = _pad8_128(B, 8)
+    qp = _pad8_128(n_qd, 8)
+    lane = _pad8_128(max(contacts_cm, 1), 128)
+    seq = 2 * 2 * substeps * qp * et * f  # tgt + act frame blocks, dbl-buf
+    stateio = 2 * 13 * Bp * et * f + 2 * 2 * qp * et * f  # bq/bqd + last tgt/act
+    outs = (2 * 25 + 25) * Bp * et * f  # 4 frame outs dbl-buf + 4 last outs
+    scratch = 13 * Bp * et * f
+    traced = 25 * Bp * max(et, 128) * f
+    statics = (
+        36 * Bp * 128 + 2 * Bp * _pad8_128(B, 128)
+        + 3 * Bp * _pad8_128(n_qd, 128) + 8 * Bp * lane
+    ) * f
+    temps = 24 * lane * et * f + 30 * Bp * et * f
+    return seq + stateio + outs + scratch + traced + statics + temps
+
+
+def pick_window_e_tile(
+    substeps: int, B: int, n_qd: int, contacts_cm: int = 64,
+    budget: int = VMEM_LIMIT - 12 * 2 ** 20,
+) -> int:
+    """Auto env-tile for the forward window kernel (serving/eval): the
+    largest tile in {512, 256, 128} whose per-grid-step VMEM estimate
+    fits the budget — the same largest-while-it-fits policy measured
+    fastest for the training kernels (pallas_soa_grad.pick_e_tile)."""
+    for et in (512, 256):
+        if estimate_window_vmem(substeps, B, n_qd, et, contacts_cm) <= budget:
+            return et
+    return 128
+
+
 # ---- plane (component-tuple) math -----------------------------------------
 
 def _qmul(a, b):

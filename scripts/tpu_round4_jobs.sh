@@ -58,6 +58,14 @@ if [ -f scripts/serve_bench.py ] && [ ! -f $OUT/serve_bench.jsonl ]; then
 fi
 alive || { echo "tunnel died; abort"; exit 1; }
 
+# ---- 3b. full-sequence eval cost: padded-soa vs xla (VERDICT #6)
+if [ -f scripts/eval_bench.py ] && [ ! -f $OUT/eval_bench.jsonl ]; then
+  echo "-- $(stamp) eval bench"
+  timeout 3600 python scripts/eval_bench.py --out $OUT/eval_bench.jsonl
+  echo "rc=$?"
+fi
+alive || { echo "tunnel died; abort"; exit 1; }
+
 # ---- 4. quad-class kernel cell (VERDICT #4) — after restructure lands
 if [ -f scripts/quad_bench.py ] && [ ! -f $OUT/quad_bench.jsonl ]; then
   echo "-- $(stamp) quad bench"

@@ -37,6 +37,9 @@ def _init_devices():
     wd.start()
     import jax
 
+    if os.environ.get("PPR_PLATFORM"):  # the axon plugin ignores
+        # JAX_PLATFORMS; only the config API forces a backend
+        jax.config.update("jax_platforms", os.environ["PPR_PLATFORM"])
     jax.devices()
     wd.cancel()
     return jax

@@ -258,6 +258,38 @@ def test_rollout_server_checkpoint_swap_no_recompile(tmp_path):
     assert np.abs(out1 - out2).max() > 1e-5  # new params actually applied
 
 
+def test_rollout_server_auto_defaults(tmp_path):
+    """Serving defaults resolve like training's (VERDICT round-3 #3):
+    engine 'auto' -> backend-dependent (xla on this CPU host, soa on
+    TPU), e_tile 0 -> pick_window_e_tile's single-grid-step plan; the
+    template grid's forward windows all fit the largest 512 tile."""
+    import jax
+
+    from ppr_diffphys_tpu.models.serve import RolloutServer
+    from ppr_diffphys_tpu.sim.pallas_soa import (
+        estimate_window_vmem, pick_window_e_tile, VMEM_LIMIT,
+    )
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=1,
+        logroot=str(tmp_path),
+    )
+    srv = RolloutServer(opts, num_envs=2, frames=2)
+    assert srv.engine == ("soa" if jax.default_backend() == "tpu" else "xla")
+    assert srv.e_tile == pick_window_e_tile(
+        srv.model.steps_per_fr_interval, srv.model.env.n_links,
+        srv.model.env.n_qd,
+    )
+    # the whole production template x rate grid serves single-kernel at
+    # the max tile: the forward window has no backward-residual pressure
+    budget = VMEM_LIMIT - 12 * 2 ** 20
+    for sub, B, n_qd in [(33, 13, 18), (83, 13, 18), (33, 26, 81),
+                         (83, 26, 81), (33, 19, 57), (83, 19, 57)]:
+        et = pick_window_e_tile(sub, B, n_qd)
+        assert et >= 256, ((sub, B, n_qd), et)
+        assert estimate_window_vmem(sub, B, n_qd, et) <= budget
+
+
 def test_resolve_engine_auto_policy(model):
     """The measured 'auto' engine routing (BENCHMARKS.md round 3):
     TPU training -> soa, except quad-shaped models (many dofs, sparse
@@ -285,13 +317,57 @@ def test_resolve_engine_auto_policy(model):
         assert resolve(mk(57, 152, 19), is_train=True) == "soa"
         # quad-shaped: many dofs + sparse contacts -> xla
         assert resolve(mk(81, 208, 26), is_train=True) == "xla"
-        # eval stays on xla
-        assert resolve(mk(18, 1454, 13), is_train=False) == "xla"
+        # eval rides the padded training soa kernels (round-4 routing)
+        assert resolve(mk(18, 1454, 13), is_train=False) == "soa"
+        # ... except quad-shaped (trains on xla, no soa kernel to reuse)
+        assert resolve(mk(81, 208, 26), is_train=False) == "xla"
+        # --eval_engine xla restores the round-3 eval routing
+        m3 = mk(18, 1454, 13)
+        m3.opts["eval_engine"] = "xla"
+        assert resolve(m3, is_train=False) == "xla"
+        assert resolve(m3, is_train=True) == "soa"
         # explicit flag always wins
         assert resolve(mk(81, 208, 26, engine="soa"), is_train=True) == "soa"
         assert resolve(mk(18, 1454, 13, engine="xla"), is_train=True) == "xla"
     with mock.patch("jax.default_backend", return_value="cpu"):
         assert resolve(mk(18, 1454, 13), is_train=True) == "xla"
+        assert resolve(mk(18, 1454, 13), is_train=False) == "xla"
+
+
+def test_eval_env_padding_soa():
+    """Single-env full-sequence eval on the soa engine is padded to the
+    training env width (reusing the training-interval kernel shapes,
+    VERDICT round-3 #6) and produces the same eval losses as the
+    unpadded XLA eval."""
+    from ppr_diffphys_tpu.models.phys_model import phys_model
+    from ppr_diffphys_tpu.data.amp_loader import DataLoader
+
+    def run(engine, eval_engine):
+        opts = build_opts(
+            seqname="mi-pace", num_rounds=1, iters_per_round=1,
+            logroot="/tmp/ppr_evalpad", num_envs=3,
+            phys_engine=engine, eval_engine=eval_engine,
+        )
+        m = phys_model(opts, DataLoader(opts))
+        m.reinit_envs(1, frames_per_wdw=4, is_eval=True)
+        out = m.forward(frame_start=np.zeros(1))
+        return m, out
+
+    m_soa, out_soa = run("soa", "auto")  # explicit soa: padding engages on CPU
+    assert m_soa.eval_env_requested == 1
+    assert m_soa.num_envs == 3  # padded to the training width
+    m_xla, out_xla = run("xla", "xla")
+    assert m_xla.eval_env_requested is None and m_xla.num_envs == 1
+    np.testing.assert_allclose(
+        float(out_soa["loss_traj"]), float(out_xla["loss_traj"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(out_soa["total_loss"]), float(out_xla["total_loss"]), rtol=2e-4
+    )
+    # env-0 vis trajectories identical too
+    np.testing.assert_allclose(
+        m_soa.sim_trajs, m_xla.sim_trajs, atol=2e-4
+    )
 
 
 def test_gradient_accumulation_update(model):
