@@ -1175,6 +1175,12 @@ class phys_model:
                 print("fallback to cached model")
                 self.params = jax.tree.map(jnp.asarray, self.model_cache[0])
                 self.opt_state = self.optimizer_cache[0]
+            # the reference's update() still steps its LR scheduler on a
+            # rolled-back iter (zero_grad(set_to_none) makes AdamW skip
+            # params, but scheduler.step() runs unconditionally,
+            # dp_model.py:511-516 + :952-961) — advance the schedule
+            # count the same way so post-rollback LRs stay in lockstep
+            self.opt_state = self._bump_schedule_count(self.opt_state)
             return None
 
         # per-tensor median-queue clipping, keyed by dotted tensor name
@@ -1189,7 +1195,12 @@ class phys_model:
             scale_threshold = 5.0
             q = self.grad_queue.setdefault(name, [])
             if len(q) > queue_length:
-                med = float(np.median(q[:-1]))
+                # torch.median semantics (the reference clips against
+                # torch.stack(q[:-1]).median(), dp_model.py:989): the
+                # LOWER middle element of the even-length slice —
+                # np.median would average the middle pair instead
+                arr = np.sort(np.asarray(q[:-1]))
+                med = float(arr[(len(arr) - 1) // 2])
                 grad_dict["grad_med/" + name] = med
                 if g > scale_threshold * med and g > 0:
                     scales[name] = med / g
@@ -1200,6 +1211,17 @@ class phys_model:
             else:
                 q.append(g)
         return scales, grad_dict
+
+    @staticmethod
+    def _bump_schedule_count(opt_state):
+        """+1 on the scale_by_schedule count only (NOT scale_by_adam's —
+        torch AdamW per-param step counts do not advance when grads are
+        None on a rolled-back iter)."""
+        return tuple(
+            s._replace(count=s.count + 1)
+            if isinstance(s, optax.ScaleByScheduleState) else s
+            for s in opt_state
+        )
 
     def _scales_tree(self, scales):
         """Per-leaf scale pytree from a {name: scale} dict: exact dotted

@@ -138,6 +138,162 @@ def sampler_from_torch(torch_time_mlp) -> FrameSampler:
     return FrameSampler(tuple(int(x) for x in np.asarray(te.frame_offset_raw)))
 
 
+def articulation_params_from_torch(torch_art, art_spec):
+    """Torch articulation module -> params for a fields.ArticulationField.
+
+    ``torch_art`` is the ``object_field.warp.articulation`` surface the
+    reference interface queries (dp_interface.py:400-466): a joint-angle
+    TimeMLP (the vendored TimeMLPWrapper architecture, lab4d_utils.py:394-
+    521 + torch_utils.py:116-182) exposed as ``.mlp``, plus the learnable
+    urdf-to-object alignment ``logscale`` / ``orient`` (wxyz) / ``shift``
+    and optional per-joint ``rest_offsets``.
+    """
+    module, mlp_params = timemlp_from_torch(torch_art.mlp.state_dict())
+    assert module.num_freq_t == art_spec.mlp.num_freq_t, (
+        module.num_freq_t, art_spec.mlp.num_freq_t)
+    assert module.out_channels == art_spec.n_dof, (
+        module.out_channels, art_spec.n_dof)
+    params = dict(art_spec.init_params)
+    params["mlp"] = mlp_params
+    params["logscale"] = jnp.asarray(_np(torch_art.logscale)).reshape(())
+    params["orient"] = jnp.asarray(_np(torch_art.orient)).reshape(4)
+    params["shift"] = jnp.asarray(_np(torch_art.shift)).reshape(3)
+    if getattr(torch_art, "rest_offsets", None) is not None:
+        params["rest_offsets"] = jnp.asarray(_np(torch_art.rest_offsets))
+    return params
+
+
+def object_field_from_torch(torch_field, robot, rng, name="object_field"):
+    """Live torch lab4d object field -> (fields.ObjectField, params).
+
+    ``torch_field`` carries the query surface phys_interface consumes
+    (reference dp_interface.py:381-466): ``.camera_mlp`` (the vendored
+    CameraMLPWrapper, torch_utils.py:183-304), ``.logscale``, optional
+    ``.field2world`` (V,7), and ``.warp.articulation`` (see
+    :func:`articulation_params_from_torch`).
+    """
+    from .fields import ObjectField
+
+    sampler = sampler_from_torch(torch_field.camera_mlp)
+    field = ObjectField(sampler.offsets, robot, rng, name=name)
+    module, cam_params = cameramlp_from_torch(
+        torch_field.camera_mlp.state_dict())
+    assert module.num_freq_t == field.camera_mlp.num_freq_t
+    params = dict(field.init_params)
+    params["camera_mlp"] = cam_params
+    params["logscale"] = jnp.asarray(_np(torch_field.logscale)).reshape(())
+    if getattr(torch_field, "field2world", None) is not None:
+        params["field2world"] = jnp.asarray(_np(torch_field.field2world))
+    params["articulation"] = articulation_params_from_torch(
+        torch_field.warp.articulation, field.articulation_spec)
+    return field, params
+
+
+def scene_field_from_torch(torch_field, rng, name="scene_field"):
+    """Live torch lab4d scene field -> (fields.CameraField, params)."""
+    return camera_field_from_torch(
+        torch_field.camera_mlp, rng, name=name,
+        logscale=torch_field.logscale,
+        field2world=getattr(torch_field, "field2world", None),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverse direction: flax params -> torch state_dicts (pushing the
+# physics-refined proxy weights back into lab4d's DR cycle — the
+# override_states_inv leg of the reference's alternation,
+# dp_interface.py:352-372)
+# ---------------------------------------------------------------------------
+
+def _dense_to_torch(p, key: str) -> Dict[str, np.ndarray]:
+    return {
+        key + ".weight": np.asarray(p["kernel"]).T.copy(),
+        key + ".bias": np.asarray(p["bias"]).copy(),
+    }
+
+
+def _embedding_to_torch(p) -> Dict[str, np.ndarray]:
+    out = {}
+    out.update(_dense_to_torch(p["mapping1"], "time_embedding.mapping1"))
+    out.update(_dense_to_torch(p["mapping2"], "time_embedding.mapping2"))
+    out["time_embedding.inst_embedding.mapping.weight"] = np.asarray(
+        p["inst_embedding"]["embedding"]).copy()
+    return out
+
+
+def _trunk_to_torch(p) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in p.items():
+        out.update(_dense_to_torch(v, k + ".0"))
+    return out
+
+
+def timemlp_state_to_torch(params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`timemlp_from_torch`: flax params -> a numpy
+    state_dict loadable into the vendored TimeMLPWrapper."""
+    out = _embedding_to_torch(params["time_embedding"])
+    out.update(_trunk_to_torch(params["trunk"]))
+    out.update(_dense_to_torch(params["head"], "head.0"))
+    return out
+
+
+def cameramlp_state_to_torch(params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`cameramlp_from_torch`."""
+    out = _embedding_to_torch(params["time_embedding"])
+    out.update(_trunk_to_torch(params["trunk"]))
+    out.update(_dense_to_torch(params["trans"], "trans.0"))
+    out.update(_dense_to_torch(params["quat"], "quat.0"))
+    out["base_quat"] = np.asarray(params["base_quat"]).copy()
+    return out
+
+
+def _load_into(torch_module, np_state: Dict[str, np.ndarray]):
+    import torch
+
+    sd = torch_module.state_dict()
+    for k, v in np_state.items():
+        sd[k] = torch.as_tensor(v)
+    torch_module.load_state_dict(sd)
+
+
+def export_camera_field_to_torch(params, torch_field):
+    """Write CameraField params back into a live torch scene field
+    (camera weights + logscale + field2world)."""
+    import torch
+
+    _load_into(torch_field.camera_mlp, cameramlp_state_to_torch(params["camera_mlp"]))
+    with torch.no_grad():
+        torch_field.logscale.copy_(
+            torch.as_tensor(np.asarray(params["logscale"])).reshape(
+                torch_field.logscale.shape))
+        if getattr(torch_field, "field2world", None) is not None:
+            torch_field.field2world.copy_(
+                torch.as_tensor(np.asarray(params["field2world"])))
+
+
+def export_object_field_to_torch(params, torch_field):
+    """Write ObjectField params (incl. articulation) back into a live
+    torch object field — the DP->DR hand-off."""
+    import torch
+
+    export_camera_field_to_torch(params, torch_field)
+    art = torch_field.warp.articulation
+    _load_into(art.mlp, timemlp_state_to_torch(params["articulation"]["mlp"]))
+    with torch.no_grad():
+        art.logscale.copy_(torch.as_tensor(
+            np.asarray(params["articulation"]["logscale"])).reshape(
+                art.logscale.shape))
+        art.orient.copy_(torch.as_tensor(
+            np.asarray(params["articulation"]["orient"])).reshape(
+                art.orient.shape))
+        art.shift.copy_(torch.as_tensor(
+            np.asarray(params["articulation"]["shift"])).reshape(
+                art.shift.shape))
+        if getattr(art, "rest_offsets", None) is not None:
+            art.rest_offsets.copy_(torch.as_tensor(
+                np.asarray(params["articulation"]["rest_offsets"])))
+
+
 def camera_field_from_torch(
     torch_camera_mlp,
     rng,

@@ -168,19 +168,13 @@ def _qnormalize(q):
     return tuple(q[i] * inv for i in range(4))
 
 
-def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
-    """Penalty-contact force/torque of one static contact chunk, reduced
-    onto its body: (neg torque (1,E) x3, neg force (1,E) x3).
-
-    qb/tb/wb/vb: (1,E) plane tuples of the body state; com_b (1,E) x3;
-    pt (cb,1) x3; dist (cb,1); mat = (ke, kd, kf, mu) each (cb,1).
-    Pure function of its inputs — the backward kernel wraps it in
-    jax.checkpoint so the (cb,E) intermediates are recomputed during the
-    in-kernel reverse sweep instead of being held as vjp residuals
-    (they would otherwise dominate VMEM: ~20 live (C,E) planes/substep).
-    """
+def _contact_force_raw(qb, tb, wb, vb, com_b, pt, dist, mat):
+    """Penalty-contact force/torque per contact row, UNreduced:
+    (torque (cb,E) x3, force (cb,E) x3) with the reference's sign
+    (positive = force on the body; callers negate, matching warp's
+    atomic_sub, integrator_euler.py:246-286)."""
     ke, kd, kf, mu = mat
-    com_w = _add3(tb, _qrot(qb, com_b))  # (1,E)
+    com_w = _add3(tb, _qrot(qb, com_b))
     cp = _add3(_qrot(qb, pt), tb)  # (cb,E)
     cp = (cp[0], cp[1] - dist, cp[2])  # thickness, n=(0,1,0)
     r = _sub3(cp, com_w)
@@ -200,12 +194,53 @@ def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
         jnp.clip(f_tot[k] * active, -500.0, 500.0) for k in range(3)
     )
     t_tot = _cross(r, f_tot)
+    return t_tot, f_tot
+
+
+def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
+    """Penalty-contact force/torque of one static contact chunk, reduced
+    onto its body: (neg torque (1,E) x3, neg force (1,E) x3).
+
+    qb/tb/wb/vb: (1,E) plane tuples of the body state; com_b (1,E) x3;
+    pt (cb,1) x3; dist (cb,1); mat = (ke, kd, kf, mu) each (cb,1).
+    Pure function of its inputs — the backward kernel wraps it in
+    jax.checkpoint so the (cb,E) intermediates are recomputed during the
+    in-kernel reverse sweep instead of being held as vjp residuals
+    (they would otherwise dominate VMEM: ~20 live (C,E) planes/substep).
+    """
+    t_tot, f_tot = _contact_force_raw(qb, tb, wb, vb, com_b, pt, dist, mat)
     # atomic_sub sign + reduce over the chunk's contacts (axis -2 so the
     # same math serves 2D (cb,E) chunks and 3D (G,cb,E) body groups)
     return (
         tuple(-jnp.sum(t_tot[k], -2, keepdims=True) for k in range(3)),
         tuple(-jnp.sum(f_tot[k], -2, keepdims=True) for k in range(3)),
     )
+
+
+# Contact-candidate ceiling for the FLAT layout (all contacts as (Cf,E)
+# planes in one vectorized piece): the flat backward's monolithic vjp
+# keeps ~2 dozen (Cf,E) residual planes live, so it only pays off while
+# Cf x e_tile stays small — quad (208) and human (152) qualify, laikago's
+# 1454 hull candidates stay on the per-body chunk/loop paths.
+FLAT_MAX_C = 320
+
+
+def flat_contact_pad(model, layout: str = "auto") -> int:
+    """Padded flat-contact row count (0 = the chunk/loop layout is used).
+
+    layout: 'auto' (flat iff 0 < C <= FLAT_MAX_C), 'flat', 'loop';
+    the PPR_SOA_CONTACT_LAYOUT env var overrides 'auto' (the HW bench
+    switch for adjudicating the quad-class cell, VERDICT round-3 #4)."""
+    import os
+
+    C = int(model.contact_count)
+    if layout == "auto":
+        layout = os.environ.get("PPR_SOA_CONTACT_LAYOUT", "auto")
+    if layout == "loop" or C == 0:
+        return 0
+    if layout != "flat" and C > FLAT_MAX_C:
+        return 0
+    return max(8, -(-C // 8) * 8)
 
 
 TRACED_NAMES = ("gains", "inv_m", "inertia", "inv_inertia")

@@ -1,0 +1,186 @@
+"""Torch-backed lab4d fields through the FULL DR/DP cycle (VERDICT
+round-3 #5 / Missing #1).
+
+Builds live torch fields from the reference's vendored lab4d blocks
+(CameraMLPWrapper / TimeMLPWrapper over TimeMLP/TimeEmbedding —
+torch_utils.py:116-304, lab4d_utils.py:137-521, loaded from the
+read-only mount), adapts them into the (spec, params) protocol via
+models/torch_adapter, and drives phys_interface end-to-end:
+
+    override_control_ref_states -> forward (live joint_X_p) -> update
+    -> override_states_inv -> export back to torch -> correct_scale
+
+proving the reference's "drops in unchanged" coupling
+(dp_interface.py:17-69, :328-378) holds against torch-sourced
+parameters, not only the JAX mocks.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ppr_diffphys_tpu.utils.config import build_opts
+
+pytestmark = pytest.mark.slow
+
+HUMAN = "/root/reference/data/urdf_templates/human.urdf"
+OFFSETS = [0, 10, 16]  # two videos
+
+
+@pytest.fixture(scope="module")
+def torch_setup():
+    from lab4d_torch_fields import build_torch_fields
+
+    from ppr_diffphys_tpu.data.robot import URDFRobot
+    from ppr_diffphys_tpu.models.fields import IntrinsicsField
+    from ppr_diffphys_tpu.models.torch_adapter import (
+        object_field_from_torch, scene_field_from_torch,
+    )
+
+    robot = URDFRobot(HUMAN)
+    t_scene, t_obj = build_torch_fields(
+        OFFSETS, n_dof=robot.num_dofs, n_joints=len(robot.joints), seed=3
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    obj_spec, obj_params = object_field_from_torch(t_obj, robot, k1)
+    scn_spec, scn_params = scene_field_from_torch(t_scene, k2)
+    intr = IntrinsicsField(np.asarray(OFFSETS))
+    return dict(
+        robot=robot, t_scene=t_scene, t_obj=t_obj,
+        obj=(obj_spec, obj_params), scn=(scn_spec, scn_params),
+        intr=(intr, intr.init_params),
+    )
+
+
+@pytest.fixture(scope="module")
+def interface(torch_setup):
+    from ppr_diffphys_tpu.models.interface import phys_interface
+
+    opts = build_opts(
+        urdf_template="human", num_rounds=1, iters_per_round=2,
+        logroot="/tmp/ppr_torch_cycle", pos_distill_wt=0.1,
+        phys_vid=[0, 1], noise_std=0.0,
+    )
+    model_dict = dict(
+        scene_field=torch_setup["scn"],
+        object_field=torch_setup["obj"],
+        intrinsics=torch_setup["intr"],
+        frame_interval=1.0 / 30,
+        frame_info=None,
+    )
+    return phys_interface(opts, model_dict)
+
+
+def test_adapter_query_parity(torch_setup):
+    """The adapted (spec, params) queries equal the live torch modules:
+    camera SE(3)s (incl. the logscale translation semantics) and
+    articulation joint angles."""
+    obj_spec, obj_params = torch_setup["obj"]
+    t_obj = torch_setup["t_obj"]
+    n = OFFSETS[-1]
+    fid = jnp.arange(n, dtype=jnp.float32)
+
+    with torch.no_grad():
+        q_ref, t_ref = t_obj.camera_mlp.get_vals(torch.arange(0, n))
+    mats = obj_spec.get_camera(obj_params, fid)
+    np.testing.assert_allclose(
+        np.asarray(mats[:, :3, 3]), t_ref.numpy(), atol=2e-5
+    )
+
+    with torch.no_grad():
+        ja_ref = t_obj.warp.articulation.get_vals(
+            torch.arange(0, n), return_so3=True
+        ).numpy()
+    ja = obj_spec.articulation_spec.get_vals(
+        obj_params["articulation"], fid
+    )
+    np.testing.assert_allclose(np.asarray(ja), ja_ref.reshape(n, -1), atol=2e-5)
+
+    # alignment params carried over exactly
+    art = t_obj.warp.articulation
+    np.testing.assert_allclose(
+        np.asarray(obj_params["articulation"]["orient"]),
+        art.orient.detach().numpy(), atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(obj_params["articulation"]["rest_offsets"]),
+        art.rest_offsets.detach().numpy(), atol=0,
+    )
+
+
+def test_full_dr_dp_cycle(torch_setup, interface):
+    """DR-state pull -> physics forward/update (live joint_X_p) ->
+    proxy push-back -> torch export round trip."""
+    from ppr_diffphys_tpu.models.interface import KinematicsProxy
+    from ppr_diffphys_tpu.models.torch_adapter import (
+        export_object_field_to_torch, object_field_from_torch,
+        timemlp_state_to_torch,
+    )
+
+    m = interface
+
+    # -- DR -> DP: pull the (torch-sourced) field state into the proxy
+    m.override_control_ref_states()
+    before = jax.tree_util.tree_leaves(
+        m.params["kinematics_proxy"]["object_field"]
+    )
+
+    # -- physics forward + update: live joint_X_p rides from query_ja
+    m.reinit_envs(2, frames_per_wdw=2, is_eval=False)
+    out = m.forward()
+    assert np.isfinite(float(out["total_loss"]))
+    gd = m.update()
+    assert gd.get("grad/kinematics_proxy", 0) >= 0
+    after = jax.tree_util.tree_leaves(
+        m.params["kinematics_proxy"]["object_field"]
+    )
+    # the proxy moved (physics refined the DR copy)
+    assert any(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(before, after)
+    )
+
+    # -- DP -> DR: push proxy weights back into the live field params
+    proxy = KinematicsProxy(m)
+    proxy.override_states_inv()
+    np.testing.assert_allclose(
+        np.asarray(m.params["object_field"]["logscale"]),
+        np.asarray(m.params["kinematics_proxy"]["object_field"]["logscale"]),
+    )
+
+    # -- and export to the live torch modules (the lab4d hand-off)
+    t_obj = torch_setup["t_obj"]
+    export_object_field_to_torch(m.params["object_field"], t_obj)
+    # torch now computes with the physics-refined weights: re-adapting
+    # reproduces the exported tree bit-for-bit
+    re_spec, re_params = object_field_from_torch(
+        t_obj, torch_setup["robot"], jax.random.PRNGKey(9)
+    )
+    for k in ("logscale", "camera_mlp", "articulation"):
+        a = jax.tree_util.tree_leaves(m.params["object_field"][k])
+        b = jax.tree_util.tree_leaves(re_params[k])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and the torch articulation forward equals the JAX field forward
+    n = OFFSETS[-1]
+    with torch.no_grad():
+        ja_t = t_obj.warp.articulation.get_vals(
+            torch.arange(0, n), return_so3=True).numpy().reshape(n, -1)
+    ja_j = re_spec.articulation_spec.get_vals(
+        m.params["object_field"]["articulation"],
+        jnp.arange(n, dtype=jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(ja_j), ja_t, atol=2e-5)
+
+
+def test_correct_scale_torch_backed(interface):
+    """correct_scale's foot-height scale walk runs against the
+    torch-sourced fields and actually moves the scene logscale."""
+    m = interface
+    ls0 = float(m.params["scene_field"]["logscale"])
+    m.correct_scale(np.array([0, 1]), increment=0.05, max_steps=3)
+    assert float(m.params["scene_field"]["logscale"]) != ls0

@@ -157,6 +157,168 @@ def test_lr_schedule_matches_torch_onecycle(model):
         sched.step()
 
 
+@pytest.mark.slow
+def test_full_budget_parity_with_grad_safety():
+    """101 steps (the full run.sh budget) update-for-update against a
+    torch mirror implementing the reference's check_grad EXACTLY
+    (dp_model.py:936-999) inside the reference's update()/save_checkpoint
+    cadence (dp_model.py:511-516, :905-921) — including one forced
+    grad-norm ROLLBACK (step 45) and one forced median-queue CLIP event
+    (body_mass, step 70). Pins: lower-median (torch.median) clip factor,
+    cache restore two rounds back, and the scheduler advancing on the
+    rolled-back iter (VERDICT round-3 #8)."""
+    import torch
+    from copy import deepcopy
+
+    opts = build_opts(
+        seqname="mi-pace", logroot="/tmp/ppr_opt_parity101", noise_std=0.0,
+        num_rounds=5, iters_per_round=20,
+    )
+    m = phys_model(opts, DataLoader(opts))
+    leaves = _named_leaves(m)
+    trainable = [(n, v, lr) for n, v, lr in leaves if lr > 0]
+    base_lr = m.opts["phys_learning_rate"]
+    total = max(2, m.total_iters)
+    assert total == 101
+
+    # ---- torch mirror -----------------------------------------------------
+    tparams = {
+        n: torch.nn.Parameter(torch.tensor(v, dtype=torch.float64))
+        for n, v, lr in trainable
+    }
+    opt = torch.optim.AdamW(
+        [{"params": [tparams[n]]} for n, _, _ in trainable],
+        lr=base_lr, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, [lr for _, _, lr in trainable], total, pct_start=2.0 / total,
+        cycle_momentum=False, anneal_strategy="linear",
+        final_div_factor=1e2, div_factor=25,
+    )
+    t_model_cache = [None, None]
+    t_opt_cache = [None, None]
+    t_sched_cache = [None, None]
+    t_queue = {}
+
+    def t_save_checkpoint():
+        t_model_cache[0] = t_model_cache[1]
+        t_opt_cache[0] = t_opt_cache[1]
+        t_sched_cache[0] = t_sched_cache[1]
+        t_model_cache[1] = {n: p.detach().clone() for n, p in tparams.items()}
+        t_opt_cache[1] = deepcopy(opt.state_dict())
+        t_sched_cache[1] = deepcopy(sched.state_dict())
+
+    def t_check_grad(thresh=10.0):
+        # verbatim reference algorithm (dp_model.py:936-999)
+        plist = [p for p in tparams.values() if p.grad is not None]
+        grad_norm = torch.nn.utils.clip_grad_norm_(plist, thresh)
+        if grad_norm > thresh:
+            opt.zero_grad()
+            if t_model_cache[0] is not None:
+                with torch.no_grad():
+                    for n, p in tparams.items():
+                        p.copy_(t_model_cache[0][n])
+                opt.load_state_dict(deepcopy(t_opt_cache[0]))
+                sched.load_state_dict(deepcopy(t_sched_cache[0]))
+            return {}
+        gd = {}
+        for n, p in tparams.items():
+            if p.grad is None:
+                continue
+            grad = p.grad.reshape(-1).norm(2, -1)
+            gd["grad/" + n] = grad
+            q = t_queue.setdefault(n, [])
+            if len(q) > 10:
+                med = torch.stack(q[:-1]).median()
+                gd["grad_med/" + n] = med
+                if grad > 5.0 * med:
+                    torch.nn.utils.clip_grad_norm_(p, med)
+                else:
+                    q.append(grad)
+                    q.pop(0)
+            else:
+                q.append(grad)
+        return gd
+
+    def t_update():
+        gd = t_check_grad()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        return gd
+
+    # ---- identical grad streams with two forced events ---------------------
+    rng = np.random.RandomState(7)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(m.params)
+    name_of = [m._leaf_name(p) for p, _ in flat]
+    train_names = {n for n, _, _ in trainable}
+    ROLLBACK_STEP, CLIP_STEP = 45, 70
+
+    events = {"rollback": False, "clip": False}
+    for step in range(total):
+        if step % opts["iters_per_round"] == 0:
+            m.save_checkpoint(step)
+            t_save_checkpoint()
+
+        gleaves, norms = [], {}
+        sq = 0.0
+        for (path, v), n in zip(flat, name_of):
+            if n not in train_names:
+                gleaves.append(jnp.zeros_like(v))
+                continue
+            g = rng.randn(*np.shape(v)).astype(np.float32) * 0.003
+            if step == ROLLBACK_STEP:
+                g = g * 10.0  # global norm blows past thresh=10
+            if step == CLIP_STEP and n == "body_mass":
+                g = g * 100.0  # tensor-level outlier, global norm still ok
+            gleaves.append(jnp.asarray(g))
+            norms[n] = float(np.linalg.norm(g.astype(np.float64)))
+            sq += norms[n] ** 2
+            tparams[n].grad = torch.tensor(g, dtype=torch.float64)
+        gnorm = float(np.sqrt(sq))
+
+        m._grad_accum = [
+            (jax.tree_util.tree_unflatten(treedef, gleaves), norms, gnorm)
+        ]
+        gd = m.update()
+        tgd = t_update()
+
+        if step == ROLLBACK_STEP:
+            assert gd == {} and tgd == {}, (gd.keys(), tgd.keys())
+            events["rollback"] = True
+        if step == CLIP_STEP:
+            med = gd.get("grad_med/body_mass")
+            assert med is not None and gd["grad/body_mass"] > 5.0 * med
+            assert float(tgd["grad_med/body_mass"]) == pytest.approx(
+                med, rel=1e-9
+            )
+            events["clip"] = True
+    assert events["rollback"] and events["clip"]
+
+    # ---- end-state parity ---------------------------------------------------
+    jflat, _ = jax.tree_util.tree_flatten_with_path(m.params)
+    jax_by_name = {m._leaf_name(p): np.asarray(v) for p, v in jflat}
+    worst = 0.0
+    for n, v0, lr in trainable:
+        j = jax_by_name[n]
+        t = tparams[n].detach().numpy()
+        scale = np.abs(t).max() + 1e-6
+        err = np.abs(j - t).max() / scale
+        worst = max(worst, err)
+        assert err < 5e-5, (n, err)
+    print("101-step grad-safety parity worst rel err: %.2e" % worst)
+
+    # schedule counts advanced in lockstep (incl. the rolled-back iter,
+    # which restored the count from the cache then advanced it once)
+    import optax
+
+    counts = [
+        int(s.count) for s in m.opt_state
+        if isinstance(s, optax.ScaleByScheduleState)
+    ]
+    assert counts == [int(sched.last_epoch)], (counts, sched.last_epoch)
+
+
 def test_median_queue_scale_matches_reference_clip(model):
     """The median-queue outlier scale equals the factor
     torch.nn.utils.clip_grad_norm_(p, med) applies in the reference
