@@ -261,14 +261,18 @@ def main():
 
             # the production training path (phys_model._soa_interval):
             # act-free kernels, auto env tile, VMEM-planned chunking
+            from ppr_diffphys_tpu.sim.pallas_soa import flat_contact_pad
+
+            cfl = flat_contact_pad(model)
             et = int(os.environ.get("PPR_BENCH_ETILE", "0")) or pick_e_tile(
                 INTERVAL, model.n_links, model.n_qd,
-                with_res=False, with_act=False,
+                with_res=False, with_act=False, contacts_flat=cfl,
             )
-            print("e_tile: %d" % et, file=sys.stderr)
+            print("e_tile: %d%s" % (et, " (flat contacts)" if cfl else ""),
+                  file=sys.stderr)
             chunks = plan_chunks(
                 INTERVAL, model.n_links, model.n_qd, et,
-                with_res=False, with_act=False,
+                with_res=False, with_act=False, contacts_flat=cfl,
             )
             if len(chunks) > 1:
                 print("vmem plan: %d chunks %s" % (len(chunks), chunks),

@@ -778,6 +778,14 @@ class phys_model:
         identical duplicated envs leaves every reduced loss unchanged."""
         return max(1, int(self.opts.get("num_envs", 1)))
 
+    def _contacts_flat(self):
+        """Padded flat-contact row count when the kernels will use the
+        flat layout (pallas_soa.flat_contact_pad), 0 otherwise — feeds
+        the VMEM planner so flat residual planes are budgeted."""
+        from ..sim.pallas_soa import flat_contact_pad
+
+        return flat_contact_pad(self.env)
+
     def _soa_e_tile(self, with_xp=False):
         """opts['soa_e_tile'], or (0 = auto, the default) the largest
         single-kernel tile per pick_e_tile's measured policy."""
@@ -790,7 +798,7 @@ class phys_model:
             self.steps_per_fr_interval, self.env.n_links, self.env.n_qd,
             with_res=bool(self.opts.get("soa_with_res", False)),
             with_act=bool(self.opts.get("soa_with_act", False)),
-            with_xp=with_xp,
+            with_xp=with_xp, contacts_flat=self._contacts_flat(),
         )
 
     def _soa_chunks(self, with_xp=False):
@@ -810,7 +818,7 @@ class phys_model:
             self._soa_e_tile(with_xp),
             with_res=bool(self.opts.get("soa_with_res", False)),
             with_act=bool(self.opts.get("soa_with_act", False)),
-            with_xp=with_xp,
+            with_xp=with_xp, contacts_flat=self._contacts_flat(),
         )
 
     def _soa_interval(self, with_xp=False):

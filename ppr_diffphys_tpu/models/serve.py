@@ -46,11 +46,12 @@ class RolloutServer:
         # rises monotonically with tile size while it fits; the old fixed
         # 128 left measured gains on the table — VERDICT round-3 #3)
         if not e_tile:
-            from ..sim.pallas_soa import pick_window_e_tile
+            from ..sim.pallas_soa import flat_contact_pad, pick_window_e_tile
 
             m = self.model
             e_tile = pick_window_e_tile(
-                m.steps_per_fr_interval, m.env.n_links, m.env.n_qd
+                m.steps_per_fr_interval, m.env.n_links, m.env.n_qd,
+                contacts_flat=flat_contact_pad(m.env),
             )
         self.e_tile = e_tile
         self.model.reinit_envs(num_envs, frames_per_wdw=self.frames, is_eval=True)

@@ -414,7 +414,7 @@ def _pad(d: int, m: int) -> int:
 def estimate_interval_vmem(
     substeps: int, B: int, n_qd: int, e_tile: int,
     with_res: bool = False, with_act: bool = True, contacts_cm: int = 64,
-    with_xp: bool = False,
+    with_xp: bool = False, contacts_flat: int = 0,
 ) -> int:
     """Scoped-VMEM estimate (bytes) of the BACKWARD interval kernel — the
     VMEM-heavier of the pair. Every VMEM buffer is (8,128)-tile padded
@@ -455,9 +455,18 @@ def estimate_interval_vmem(
         36 * Bp * 128 * f  # masks(4) + anchor/axis/com planes(20) + lim(12)
         + 2 * Bp * _pad(B, 128) * f  # P_gather / P_scatter
         + 3 * Bp * _pad(n_qd, 128) * f  # D selectors
-        + 8 * Bp * lane * f  # cpt_bm / cdist_bm / cmat_bm
     )
-    temps = 24 * lane * et * f + 30 * Bp * et * f
+    if contacts_flat:
+        # flat layout (pallas_soa.flat_contact_pad): Sg/Ss one-hots +
+        # (Cf,1) constants, and the monolithic flat-contact vjp holds its
+        # (Cf,E) forward intermediates as residuals through the reverse
+        # sweep (~24 planes) plus reverse temporaries
+        Cfp = _pad(contacts_flat, 8)
+        statics += (2 * Cfp * _pad(B, 128) + 8 * Cfp * 128) * f
+        temps = 48 * Cfp * et * f + 30 * Bp * et * f
+    else:
+        statics += 8 * Bp * lane * f  # cpt_bm / cdist_bm / cmat_bm
+        temps = 24 * lane * et * f + 30 * Bp * et * f
     return scratch + seq + stateio + traced + statics + temps
 
 
@@ -465,7 +474,7 @@ def plan_chunks(
     substeps: int, B: int, n_qd: int, e_tile: int,
     with_res: bool = False, with_act: bool = True,
     contacts_cm: int = 64, budget: int = VMEM_LIMIT - 12 * 2 ** 20,
-    with_xp: bool = False,
+    with_xp: bool = False, contacts_flat: int = 0,
 ):
     """Split a frame interval of ``substeps`` into the fewest near-equal
     kernel chunks whose backward-kernel VMEM estimate fits the budget
@@ -479,7 +488,7 @@ def plan_chunks(
         hi = -(-substeps // n)
         if estimate_interval_vmem(
             hi, B, n_qd, e_tile, with_res, with_act, contacts_cm,
-            with_xp=with_xp,
+            with_xp=with_xp, contacts_flat=contacts_flat,
         ) <= budget:
             base = substeps // n
             rem = substeps - base * n
@@ -490,7 +499,7 @@ def plan_chunks(
 def pick_e_tile(
     substeps: int, B: int, n_qd: int,
     with_res: bool = False, with_act: bool = True,
-    contacts_cm: int = 64, with_xp: bool = False,
+    contacts_cm: int = 64, with_xp: bool = False, contacts_flat: int = 0,
 ) -> int:
     """Auto env-tile: the largest e_tile in {512, 256, 128} whose
     backward still plans as a SINGLE kernel. Measured on v5e (1024 envs,
@@ -501,7 +510,7 @@ def pick_e_tile(
     for et in (512, 256):
         if plan_chunks(
             substeps, B, n_qd, et, with_res, with_act, contacts_cm,
-            with_xp=with_xp,
+            with_xp=with_xp, contacts_flat=contacts_flat,
         ) == [substeps]:
             return et
     return 128

@@ -27,17 +27,22 @@ alive || { echo "tunnel died; abort"; exit 1; }
 # ---- 2. bench grid with profiling on (device_busy_frac archived)
 if [ ! -f $OUT/bench_grid.jsonl ]; then
   echo "-- $(stamp) bench grid"
+  # mode engine interval etile envs  (etile 0 = auto, envs "" = default 4096)
   for cfg in \
-    "rollout soa 33 laikago" \
-    "train soa 33 laikago" \
-    "train xla 33 laikago" \
-    "train soa 83 laikago" \
-    "train xla 83 laikago" \
+    "rollout soa 33 128 4096" \
+    "rollout soa 33 256 4096" \
+    "rollout soa 33 512 4096" \
+    "train soa 33 0 1024" \
+    "train xla 33 0 1024" \
+    "train soa 83 0 1024" \
+    "train xla 83 0 1024" \
+    "train soa 33 0 4096" \
   ; do
     set -- $cfg
-    MODE=$1 ENG=$2 IV=$3 TPL=$4
-    echo "   cfg: mode=$MODE engine=$ENG interval=$IV tpl=$TPL"
+    MODE=$1 ENG=$2 IV=$3 ET=$4 NE=$5
+    echo "   cfg: mode=$MODE engine=$ENG interval=$IV etile=$ET envs=$NE"
     J=$(PPR_BENCH_MODE=$MODE PPR_BENCH_ENGINE=$ENG PPR_BENCH_INTERVAL=$IV \
+        PPR_BENCH_ETILE=$ET PPR_BENCH_ENVS=$NE \
         PPR_BENCH_PROFILE=1 timeout 2400 python bench.py 2>/tmp/bench_err.txt)
     rc=$?
     if [ $rc -eq 0 ] && [ -n "$J" ]; then

@@ -553,6 +553,55 @@ def test_quad_serving_window_param_swap():
     np.testing.assert_allclose(q2, np.asarray(qx), atol=2e-5)
 
 
+def test_contact_layout_flat_matches_chunked(setup):
+    """The flat (Cf,E) all-contact layout (quad-class restructure,
+    VERDICT round-3 #4) reproduces the chunked per-body contact rows AND
+    their vjp bit-comparably on the laikago fixture (layouts forced via
+    build_soa_static's contact_layout)."""
+    from ppr_diffphys_tpu.sim.integrator import default_sim_params as dsp
+    from ppr_diffphys_tpu.sim.pallas_soa import build_soa_static, traced_planes
+
+    model, integ, norm_I = setup
+    E = 4
+    rng = np.random.RandomState(13)
+    q = np.array(model.joint_q_init, np.float32)
+    q[7:][[2, 5, 8, 11]] = -0.8
+    qs = np.tile(q[None], (E, 1))
+    qs[:, 1] += rng.uniform(-0.03, 0.01, E).astype(np.float32)
+    body_q, body_qd = eval_fk(model, jnp.asarray(qs))
+    bq = jnp.asarray(body_q).transpose(2, 1, 0)  # (7,B,E)
+    bqd = jnp.asarray(body_qd).transpose(2, 1, 0)
+
+    planes = traced_planes(model, dsp(model))
+    outs, bwds = {}, {}
+    d_t = tuple(jnp.asarray(rng.randn(model.n_links, E), jnp.float32)
+                for _ in range(3))
+    d_f = tuple(jnp.asarray(rng.randn(model.n_links, E), jnp.float32)
+                for _ in range(3))
+    for layout in ("flat", "loop"):
+        _, consts, meta = build_soa_static(integ, 5e-4, contact_layout=layout)
+        C = dict(consts)
+        C.update(planes)
+        assert (meta["contacts_flat"] > 0) == (layout == "flat")
+        outs[layout] = meta["contact_rows"](bq, bqd, C)
+        bwds[layout] = meta["contact_bwd"](bq, bqd, C, d_t, d_f)
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(outs["flat"][0][k]), np.asarray(outs["loop"][0][k]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["flat"][1][k]), np.asarray(outs["loop"][1][k]),
+            atol=1e-4,
+        )
+    for a, b in zip(bwds["flat"], bwds["loop"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3,
+        )
+    # rows actually nonzero (some envs penetrate)
+    assert float(jnp.abs(outs["flat"][1][1]).max()) > 0
+
+
 def test_pick_e_tile_template_grid():
     """Pin the auto env-tile choices for the production template x rate
     grid (BENCHMARKS.md round 3: tiles measured faster while
