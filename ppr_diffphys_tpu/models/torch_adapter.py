@@ -264,11 +264,11 @@ def export_camera_field_to_torch(params, torch_field):
     _load_into(torch_field.camera_mlp, cameramlp_state_to_torch(params["camera_mlp"]))
     with torch.no_grad():
         torch_field.logscale.copy_(
-            torch.as_tensor(np.asarray(params["logscale"])).reshape(
+            torch.as_tensor(np.array(params["logscale"])).reshape(
                 torch_field.logscale.shape))
         if getattr(torch_field, "field2world", None) is not None:
             torch_field.field2world.copy_(
-                torch.as_tensor(np.asarray(params["field2world"])))
+                torch.as_tensor(np.array(params["field2world"])))
 
 
 def export_object_field_to_torch(params, torch_field):
@@ -281,17 +281,17 @@ def export_object_field_to_torch(params, torch_field):
     _load_into(art.mlp, timemlp_state_to_torch(params["articulation"]["mlp"]))
     with torch.no_grad():
         art.logscale.copy_(torch.as_tensor(
-            np.asarray(params["articulation"]["logscale"])).reshape(
+            np.array(params["articulation"]["logscale"])).reshape(
                 art.logscale.shape))
         art.orient.copy_(torch.as_tensor(
-            np.asarray(params["articulation"]["orient"])).reshape(
+            np.array(params["articulation"]["orient"])).reshape(
                 art.orient.shape))
         art.shift.copy_(torch.as_tensor(
-            np.asarray(params["articulation"]["shift"])).reshape(
+            np.array(params["articulation"]["shift"])).reshape(
                 art.shift.shape))
         if getattr(art, "rest_offsets", None) is not None:
             art.rest_offsets.copy_(torch.as_tensor(
-                np.asarray(params["articulation"]["rest_offsets"])))
+                np.array(params["articulation"]["rest_offsets"])))
 
 
 def camera_field_from_torch(
