@@ -82,8 +82,11 @@ alive || { echo "tunnel died; abort"; exit 1; }
 # ---- 5. 24 Hz recipe end-to-end (VERDICT #2) — the long one, last
 if [ -f scripts/recipe_run.sh ] && [ ! -f $OUT/recipe_done ]; then
   echo "-- $(stamp) 24 Hz recipe runs"
-  timeout 21600 bash scripts/recipe_run.sh $OUT
-  echo "rc=$?" && touch $OUT/recipe_done
+  if timeout 21600 bash scripts/recipe_run.sh $OUT; then
+    touch $OUT/recipe_done
+  else
+    echo "recipe runs failed rc=$?"
+  fi
 fi
 
 echo "== $(stamp) round-4 TPU job queue done =="

@@ -67,6 +67,13 @@ def main():
                     log("running job queue: %s" % jobs)
                     rc = subprocess.call(["bash", jobs])
                     log("job queue finished rc=%d" % rc)
+                    if rc != 0:
+                        # mid-queue tunnel death: completed jobs left
+                        # their outputs, the script skips them on rerun —
+                        # go back to waiting and retry the rest
+                        log("requeueing unfinished jobs")
+                        time.sleep(120)
+                        continue
                 return
             log("ports open but jax init failed; retrying in 120 s")
         time.sleep(120)
