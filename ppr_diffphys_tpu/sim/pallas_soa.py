@@ -448,6 +448,8 @@ def build_soa_static(
         cdist_fl[:C_real, 0] = model.contact_dist
         cmat_fl = np.zeros((4, Cf, 1), np.float32)
         cmat_fl[:, :C_real, 0] = model.contact_material.T
+        com_fl = np.zeros((3, Cf, 1), np.float32)  # body COM per contact
+        com_fl[:, :C_real, 0] = np.asarray(model.body_com)[cb].T
 
     const_arrays = dict(
         P_gather=jnp.asarray(P_gather),
@@ -473,6 +475,7 @@ def build_soa_static(
             cpt_fl=jnp.asarray(cpt_fl),
             cdist_fl=jnp.asarray(cdist_fl),
             cmat_fl=jnp.asarray(cmat_fl),
+            com_fl=jnp.asarray(com_fl),
         )
     else:
         const_arrays.update(
@@ -852,7 +855,7 @@ def build_soa_static(
         tb = tuple(g(bq[k]) for k in range(3))
         wb = tuple(g(bqd[k]) for k in range(3))
         vb = tuple(g(bqd[3 + k]) for k in range(3))
-        com_c = tuple(_mm(C["Sg"], C["com"][k]) for k in range(3))  # (Cf,1)
+        com_c = tuple(C["com_fl"][k] for k in range(3))  # (Cf,1) static
         pt = tuple(C["cpt_fl"][k] for k in range(3))
         mat = tuple(C["cmat_fl"][k] for k in range(4))
         t_tot, f_tot = _contact_force_raw(

@@ -86,7 +86,9 @@ def main():
                 "auto_tile_would_pick": pick_window_e_tile(
                     sub, srv.model.env.n_links, srv.model.env.n_qd),
                 "device": dev,
-                "finite": bool(np.isfinite(np.asarray(out)).all()),
+                # last frame only: a diverged rollout shows there, and the
+                # full (F,E,B,7) pull is ~0.5 GB over the tunnel
+                "finite": bool(np.isfinite(np.asarray(out[-1])).all()),
             }
         except Exception as e:
             row = {"engine": engine, "e_tile": et, "error": repr(e)[:300]}

@@ -116,10 +116,13 @@ def run_case(name, model, integ, norm_I, kp, kv, E, sub, F, e_tile,
         )
         return p._replace(joint_X_p=xp) if xp is not None else p
 
+    from ppr_diffphys_tpu.sim.pallas_soa import flat_contact_pad
+
     interp = bool(os.environ.get("PPR_VERIFY_INTERPRET"))  # CPU smoke only
     chunks = plan_chunks(sub, model.n_links, model.n_qd, e_tile,
                          with_res=with_res, with_act=with_act,
-                         with_xp=live_xp)
+                         with_xp=live_xp,
+                         contacts_flat=flat_contact_pad(model))
     ivf = make_diff_chain(
         integ, 5e-4, sub, chunk_sizes=chunks, e_tile=e_tile,
         with_res=with_res, with_act=with_act, with_xp=live_xp,
