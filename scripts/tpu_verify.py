@@ -203,7 +203,7 @@ def main():
 
     jax = _init_devices()
     dev = str(jax.devices()[0])
-    if "Tpu" not in dev and not os.environ.get("PPR_VERIFY_ALLOW_CPU"):
+    if "tpu" not in dev.lower() and not os.environ.get("PPR_VERIFY_ALLOW_CPU"):
         sys.stderr.write("refusing: device is %s, not a TPU\n" % dev)
         sys.exit(2)
 

@@ -48,7 +48,7 @@ def jax_alive(timeout=150):
              "import jax; print(jax.devices())"],
             timeout=timeout, capture_output=True, text=True,
         )
-        return r.returncode == 0 and "Tpu" in (r.stdout + r.stderr)
+        return r.returncode == 0 and "tpu" in (r.stdout + r.stderr).lower()
     except subprocess.TimeoutExpired:
         return False
 
