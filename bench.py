@@ -213,9 +213,12 @@ def main():
         n_iv = STEPS // INTERVAL
         tgt_s = jnp.tile(target[None], (INTERVAL, 1, 1))
         act_s = jnp.zeros((INTERVAL, E, model.n_qd))
+        # default e_tile=512: measured fastest on v5e (23.05M vs 22.85M
+        # at 128 vs 22.56M at 256 env-steps/s; docs/results/round4/
+        # bench_grid.jsonl, device_busy_frac 0.956)
         kern = build_soa_rollout(
             integ, params, 5e-4, INTERVAL,
-            e_tile=int(os.environ.get("PPR_BENCH_ETILE", "128")),
+            e_tile=int(os.environ.get("PPR_BENCH_ETILE", "512")),
         )
 
         def run_soa(state, n):

@@ -757,17 +757,13 @@ class phys_model:
             ):
                 return "xla"
             eng = "soa" if on_tpu else "xla"
-            # measured exception (BENCHMARKS round 3, 1024 envs, v5e):
-            # the quad-class workload — many dofs, sparse contacts —
-            # trains 5-16% faster on the XLA scan (2.15M vs 2.05M
-            # env-steps/s at 60 Hz, 2.14M vs 1.85M at 24 Hz); every
-            # other template x rate is 1.2-6x faster on soa
-            if (
-                eng == "soa"
-                and self.env.n_qd > 60
-                and self.env.contact_count < 16 * self.env.n_links
-            ):
-                eng = "xla"
+            # Round-3's quad-class exception (many dofs, sparse contacts
+            # routed to the XLA scan) is retired: the flat contact layout
+            # (pallas_soa.flat_contact_pad, auto for C<=FLAT_MAX_C) wins
+            # that cell outright on hardware — quad 4.53M flat-soa vs
+            # 2.21M XLA env-steps/s at 60 Hz, 4.40M vs 2.24M at 24 Hz,
+            # human 5.20M flat-soa (1024 envs, v5e,
+            # docs/results/round4/quad_bench.jsonl)
         return eng
 
     def _eval_env_pad(self):

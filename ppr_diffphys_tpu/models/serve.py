@@ -15,6 +15,8 @@ Usage:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,13 @@ from ..ops import swap_lin_ang
 from ..sim.integrator import SimState
 from ..sim.kinematics import eval_fk
 from .phys_model import phys_model
+
+# Largest env count the serving prologue (control-MLP evaluation over
+# every substep) runs as one piece; beyond this it is lax.map'd in
+# chunks to bound the hidden-layer intermediates (see _build). 1024 is
+# the largest measured-passing size on v5e 16 GB HBM
+# (docs/results/round4/serve_diag.jsonl). Override: PPR_SERVE_PROLOGUE_CHUNK.
+_PROLOGUE_CHUNK = int(os.environ.get("PPR_SERVE_PROLOGUE_CHUNK", "1024"))
 
 
 class RolloutServer:
@@ -83,7 +92,9 @@ class RolloutServer:
         else:
             kern = None
 
-        def fn(params, frame_start):
+        def prologue(params, frame_start):
+            # frame_start (Ec,) -> init maximal state + per-substep joint
+            # targets for Ec envs (Ec = one prologue chunk, see below)
             steps_fr = frame_start[:, None] + jnp.asarray(
                 m.steps_idx_fr, jnp.float32
             )[None]
@@ -93,11 +104,38 @@ class RolloutServer:
             )
             qd_init = swap_lin_ang(batch["queried_qd"][:, 0])
             body_q, body_qd = eval_fk(m.env, q_init, qd_init)
+            return body_q, body_qd, batch["queried_ja"]
+
+        # get_batch_input evaluates the control MLPs at every (env,
+        # substep) pair: at E=4096 x S~1.2k that is ~5M rows and the live
+        # hidden-layer intermediates alone exceed v5e HBM — XLA memory
+        # planning rejects the program (the round-4 serve_bench HTTP-500s:
+        # docs/results/round4/serve_diag.jsonl isolates the prologue at
+        # E=4096 while E<=1024 passes). The prologue is a negligible
+        # fraction of rollout time, so run it in <=1024-env chunks via
+        # lax.map; the megakernel still sees the full env batch.
+        chunk = E
+        if E > _PROLOGUE_CHUNK:
+            chunk = max(
+                (c for c in range(1, _PROLOGUE_CHUNK + 1) if E % c == 0)
+            )
+
+        def fn(params, frame_start):
+            if chunk < E:
+                bq, bqd, ja = jax.lax.map(
+                    lambda f: prologue(params, f),
+                    frame_start.reshape(E // chunk, chunk),
+                )
+                body_q = bq.reshape((E,) + bq.shape[2:])
+                body_qd = bqd.reshape((E,) + bqd.shape[2:])
+                queried_ja = ja.reshape((E,) + ja.shape[2:])
+            else:
+                body_q, body_qd, queried_ja = prologue(params, frame_start)
             state = SimState(body_q, body_qd)
 
-            S = steps_fr.shape[1]
+            S = queried_ja.shape[1]
             ref = jnp.concatenate(
-                [jnp.zeros((E, S, 6)), batch["queried_ja"]], -1
+                [jnp.zeros((E, S, 6)), queried_ja], -1
             ).transpose(1, 0, 2)  # (S, E, n_qd)
             act = jnp.zeros_like(ref)
 

@@ -231,6 +231,12 @@ def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
 # keeps ~2 dozen (Cf,E) residual planes live, so it only pays off while
 # Cf x e_tile stays small — quad (208) and human (152) qualify, laikago's
 # 1454 hull candidates stay on the per-body chunk/loop paths.
+# Measured on v5e (docs/results/round4/quad_bench.jsonl, 1024 envs,
+# train fwd+bwd): flat beats loop/XLA 1.5-2.2x at C=152/208 at both
+# rates; the laikago control (C=1454) correctly stays on loop at the
+# round-3 level. No template sits between 320 and 1454 to measure the
+# exact crossover; 320 keeps the flat residual planes within the same
+# VMEM budget the planner uses for the loop layout.
 FLAT_MAX_C = 320
 
 

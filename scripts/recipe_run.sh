@@ -4,6 +4,9 @@
 # sequences, published next to the pre-recipe floors (sidesteps 0.486,
 # turn 0.649 — docs/24hz_adjudication.md).
 set -u
+# Hold gate: lets an operator slot a short job (e.g. a serve_bench retry)
+# onto the chip between the queue's quad bench and this multi-hour run.
+while [ -f /tmp/hold_recipe ]; do sleep 20; done
 OUT=${1:-docs/results/round4}
 mkdir -p "$OUT"
 cd /root/repo

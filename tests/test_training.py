@@ -190,6 +190,36 @@ def test_rollout_server(tmp_path):
     np.testing.assert_allclose(out, out2)
 
 
+def test_rollout_server_chunked_prologue(tmp_path, monkeypatch):
+    """Env counts beyond _PROLOGUE_CHUNK run the serving prologue
+    (control-MLP eval over all substeps) in lax.map chunks to bound HBM
+    (the round-4 E=4096 serve_bench OOM, serve_diag.jsonl); the chunked
+    path must be bitwise-identical to the one-piece prologue."""
+    from ppr_diffphys_tpu.models import serve
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=1,
+        logroot=str(tmp_path),
+    )
+    srv = RolloutServer = serve.RolloutServer
+    srv_full = RolloutServer(opts, num_envs=6, frames=3, engine="xla")
+    # mixed per-env start frames so envs are NOT identical
+    fs = np.array([0.0, 1.0, 2.0, 0.5, 1.5, 0.0], np.float32)
+    out_full = np.asarray(srv_full.rollout(fs))
+
+    monkeypatch.setattr(serve, "_PROLOGUE_CHUNK", 2)
+    srv_chunk = RolloutServer(opts, num_envs=6, frames=3, engine="xla")
+    out_chunk = np.asarray(srv_chunk.rollout(fs))
+
+    np.testing.assert_array_equal(out_full, out_chunk)
+
+    # non-power-of-two env count picks the largest divisor <= chunk cap
+    monkeypatch.setattr(serve, "_PROLOGUE_CHUNK", 4)
+    srv_odd = RolloutServer(opts, num_envs=6, frames=3, engine="xla")
+    out_odd = np.asarray(srv_odd.rollout(fs))  # chunk=3 (divisor of 6)
+    np.testing.assert_array_equal(out_full, out_odd)
+
+
 def test_orbax_checkpoint_roundtrip(model, tmp_path):
     model.opts["ckpt_backend"] = "orbax"
     model.save_dir = str(tmp_path)
@@ -291,9 +321,11 @@ def test_rollout_server_auto_defaults(tmp_path):
 
 
 def test_resolve_engine_auto_policy(model):
-    """The measured 'auto' engine routing (BENCHMARKS.md round 3):
-    TPU training -> soa, except quad-shaped models (many dofs, sparse
-    contacts) -> XLA; eval and CPU -> XLA; explicit flags win."""
+    """The measured 'auto' engine routing (BENCHMARKS.md round 4):
+    TPU -> soa for every template (the flat contact layout retired the
+    round-3 quad exception: 4.53M flat-soa vs 2.21M XLA env-steps/s,
+    docs/results/round4/quad_bench.jsonl); CPU -> XLA; --eval_engine xla
+    restores XLA eval; explicit flags win."""
     import types
 
     m = types.SimpleNamespace()  # a phys_model shell with just the bits
@@ -315,12 +347,11 @@ def test_resolve_engine_auto_policy(model):
         assert resolve(mk(18, 1454, 13), is_train=True) == "soa"
         # human-shaped: sparse contacts but n_qd < 60 -> soa
         assert resolve(mk(57, 152, 19), is_train=True) == "soa"
-        # quad-shaped: many dofs + sparse contacts -> xla
-        assert resolve(mk(81, 208, 26), is_train=True) == "xla"
+        # quad-shaped: flat contact layout makes soa the winner (round 4)
+        assert resolve(mk(81, 208, 26), is_train=True) == "soa"
         # eval rides the padded training soa kernels (round-4 routing)
         assert resolve(mk(18, 1454, 13), is_train=False) == "soa"
-        # ... except quad-shaped (trains on xla, no soa kernel to reuse)
-        assert resolve(mk(81, 208, 26), is_train=False) == "xla"
+        assert resolve(mk(81, 208, 26), is_train=False) == "soa"
         # --eval_engine xla restores the round-3 eval routing
         m3 = mk(18, 1454, 13)
         m3.opts["eval_engine"] = "xla"
