@@ -19,6 +19,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.amp_loader import DataLoader
 from ..ops import swap_lin_ang
@@ -64,7 +65,7 @@ class RolloutServer:
             )
         self.e_tile = e_tile
         self.model.reinit_envs(num_envs, frames_per_wdw=self.frames, is_eval=True)
-        self._fn = None
+        self._fns = {}
 
     def load_checkpoint(self, path):
         # params are traced inputs of the jitted rollout (incl. the
@@ -72,7 +73,7 @@ class RolloutServer:
         # is just new values for the same compiled program, no rebuild
         self.model.load_checkpoint(path)
 
-    def _build(self):
+    def _build(self, grid_prologue):
         m = self.model
         sub = m.steps_per_fr_interval
         F = self.frames
@@ -106,14 +107,36 @@ class RolloutServer:
             body_q, body_qd = eval_fk(m.env, q_init, qd_init)
             return body_q, body_qd, batch["queried_ja"]
 
-        # get_batch_input evaluates the control MLPs at every (env,
-        # substep) pair: at E=4096 x S~1.2k that is ~5M rows and the live
-        # hidden-layer intermediates alone exceed v5e HBM — XLA memory
-        # planning rejects the program (the round-4 serve_bench HTTP-500s:
-        # docs/results/round4/serve_diag.jsonl isolates the prologue at
-        # E=4096 while E<=1024 passes). The prologue is a negligible
-        # fraction of rollout time, so run it in <=1024-env chunks via
-        # lax.map; the megakernel still sees the full env batch.
+        # The control MLPs (get_batch_input) are functions of TIME only —
+        # the per-env prologue evaluates them at every (env, substep)
+        # pair, E x S ~ 5M redundant rows at E=4096 (this, not the
+        # megakernel, dominated the round-4 serve wall: 2.0 s vs the
+        # kernel's ~0.2 s, and its hidden-layer intermediates exceeded
+        # v5e HBM — serve_diag.jsonl). Serving default: evaluate the MLPs
+        # ONCE on the global absolute-substep grid (K ~ 1.2k rows,
+        # env-count independent) and gather each env's window by index.
+        # Exact when every frame_start lands on the substep grid
+        # (rollout() checks the concrete values); fractional starts fall
+        # back to the per-env prologue, lax.map'd in <=1024-env chunks to
+        # bound HBM.
+        K = (m.total_frames - 1) * sub + 1
+        S = sub * (F - 1) + 1
+
+        def grid_fn(params, frame_start):
+            g = jnp.arange(K, dtype=jnp.float32) / sub  # fractional frames
+            batch = m.get_batch_input(params, g[None])
+            grid_q = batch["queried_q"][0]  # (K, 7)
+            grid_ja = batch["queried_ja"][0]  # (K, n_dof)
+            grid_qd = batch["queried_qd"][0]  # (K, 6)
+            k0 = jnp.clip(
+                jnp.round(frame_start * sub).astype(jnp.int32), 0, K - S
+            )
+            q_init = jnp.concatenate([grid_q[k0], grid_ja[k0]], -1)
+            qd_init = swap_lin_ang(grid_qd[k0])
+            body_q, body_qd = eval_fk(m.env, q_init, qd_init)
+            idx = k0[:, None] + jnp.arange(S)[None]  # (E, S)
+            return body_q, body_qd, grid_ja[idx]
+
         chunk = E
         if E > _PROLOGUE_CHUNK:
             chunk = max(
@@ -121,7 +144,9 @@ class RolloutServer:
             )
 
         def fn(params, frame_start):
-            if chunk < E:
+            if grid_prologue:
+                body_q, body_qd, queried_ja = grid_fn(params, frame_start)
+            elif chunk < E:
                 bq, bqd, ja = jax.lax.map(
                     lambda f: prologue(params, f),
                     frame_start.reshape(E // chunk, chunk),
@@ -165,8 +190,14 @@ class RolloutServer:
     def rollout(self, frame_start=None):
         """frame_start: (E,) starting frames (defaults to 0s).
         Returns (F, E, B, 7) maximal-coordinate frame states."""
-        if self._fn is None:
-            self._fn = self._build()
         if frame_start is None:
             frame_start = jnp.zeros((self.num_envs,), jnp.float32)
-        return self._fn(self.model.params, jnp.asarray(frame_start, jnp.float32))
+        fs = jnp.asarray(frame_start, jnp.float32)
+        # grid prologue needs every start on the substep grid; checked on
+        # the concrete host values (fs is a real array pre-jit)
+        sub = self.model.steps_per_fr_interval
+        k = np.asarray(fs) * sub
+        grid = bool(np.all(k == np.round(k)))
+        if grid not in self._fns:
+            self._fns[grid] = self._build(grid_prologue=grid)
+        return self._fns[grid](self.model.params, fs)

@@ -220,6 +220,34 @@ def test_rollout_server_chunked_prologue(tmp_path, monkeypatch):
     np.testing.assert_array_equal(out_full, out_odd)
 
 
+def test_rollout_server_grid_prologue(tmp_path):
+    """Serving's fast prologue evaluates the (time-only) control MLPs
+    once on the global substep grid and gathers per env, instead of the
+    per-env E x S evaluation (the round-4 serve-wall dominator). For
+    on-grid frame starts the two prologues must agree (the grid path
+    queries the MLPs at the same physical times up to one float32
+    rounding in t, hence allclose not bitwise); fractional starts must
+    route back to the per-env path."""
+    from ppr_diffphys_tpu.models.serve import RolloutServer
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=1,
+        logroot=str(tmp_path),
+    )
+    srv = RolloutServer(opts, num_envs=4, frames=3, engine="xla")
+    fs_int = np.array([0.0, 1.0, 2.0, 0.0], np.float32)
+    out_grid = np.asarray(srv.rollout(fs_int))
+    assert list(srv._fns) == [True]  # integral starts -> grid prologue
+
+    gen = srv._build(grid_prologue=False)
+    out_gen = np.asarray(gen(srv.model.params, fs_int))
+    np.testing.assert_allclose(out_grid, out_gen, rtol=2e-4, atol=2e-5)
+
+    # fractional start -> per-env prologue specialization
+    srv.rollout(np.array([0.5, 0.0, 0.0, 0.0], np.float32))
+    assert sorted(srv._fns) == [False, True]
+
+
 def test_orbax_checkpoint_roundtrip(model, tmp_path):
     model.opts["ckpt_backend"] = "orbax"
     model.save_dir = str(tmp_path)
@@ -273,7 +301,7 @@ def test_rollout_server_checkpoint_swap_no_recompile(tmp_path):
     )
     srv = RolloutServer(opts, num_envs=2, frames=2, engine="soa")
     out1 = np.asarray(srv.rollout())
-    fn_before = srv._fn
+    (fn_before,) = srv._fns.values()
     assert fn_before._cache_size() == 1
 
     # "train" a different checkpoint: heavier robot
@@ -282,7 +310,8 @@ def test_rollout_server_checkpoint_swap_no_recompile(tmp_path):
     srv.load_checkpoint("%s/ckpt_phys_latest.pth" % srv.model.save_dir)
     out2 = np.asarray(srv.rollout())
 
-    assert srv._fn is fn_before  # kernel/program not rebuilt
+    (fn_after,) = srv._fns.values()
+    assert fn_after is fn_before  # kernel/program not rebuilt
     assert fn_before._cache_size() == 1  # and not retraced
     assert np.isfinite(out2).all()
     assert np.abs(out1 - out2).max() > 1e-5  # new params actually applied
