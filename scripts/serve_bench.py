@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--envs", type=int, default=int(
         os.environ.get("PPR_SERVE_ENVS", 4096)))
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--cells", default="soa:128,soa:256,soa:512,xla:0",
+        help="comma list of engine:e_tile cells to run",
+    )
     args = ap.parse_args()
 
     jax = _init_devices()
@@ -57,7 +61,10 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     opts = build_opts(seqname="mi-pace", logroot="/tmp/ppr_serve_bench")
 
-    cells = [("soa", 128), ("soa", 256), ("soa", 512), ("xla", 0)]
+    cells = [
+        (c.split(":")[0], int(c.split(":")[1]))
+        for c in args.cells.split(",")
+    ]
     results = []
     for engine, et in cells:
         t_build0 = time.time()
