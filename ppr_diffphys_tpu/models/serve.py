@@ -4,8 +4,11 @@ Rolls out a trained imitation policy (checkpointed phys_model parameters:
 control-reference MLPs + identified gains/masses/global SE(3)) over many
 environments at once, driving the VMEM-resident pallas megakernel
 (sim/pallas_soa.py). This is the deployment-side counterpart of training:
-no gradients, maximal throughput (~23M env-steps/sec on one v5e chip for
-the laikago workload).
+no gradients, maximal throughput. Measured end-to-end (rollout() wall,
+grid prologue + FK + megakernel + output staging): **17.6M env-steps/sec**
+on one v5e chip for the laikago mi-pace workload at E=4096 (soa engine,
+e_tile=256; the bare megakernel alone does ~23M — bench_grid.jsonl), vs
+0.77M for the XLA-scan control (docs/results/round5/serve_bench.jsonl).
 
 Usage:
     server = RolloutServer(opts, num_envs=4096)
@@ -64,6 +67,12 @@ class RolloutServer:
                 contacts_flat=flat_contact_pad(m.env),
             )
         self.e_tile = e_tile
+        if self.frames > self.model.total_frames:
+            raise ValueError(
+                f"frames={self.frames} exceeds the sequence's "
+                f"total_frames={self.model.total_frames}; the serving "
+                "window cannot be longer than the mocap sequence"
+            )
         self.model.reinit_envs(num_envs, frames_per_wdw=self.frames, is_eval=True)
         self._fns = {}
 
@@ -128,9 +137,11 @@ class RolloutServer:
             grid_q = batch["queried_q"][0]  # (K, 7)
             grid_ja = batch["queried_ja"][0]  # (K, n_dof)
             grid_qd = batch["queried_qd"][0]  # (K, 6)
-            k0 = jnp.clip(
-                jnp.round(frame_start * sub).astype(jnp.int32), 0, K - S
-            )
+            # rollout() already validated every start lies in
+            # [0, total_frames - frames], so this round is exact (no clip:
+            # clipping would silently shift out-of-range windows, diverging
+            # from the per-env prologue's linear extrapolation)
+            k0 = jnp.round(frame_start * sub).astype(jnp.int32)
             q_init = jnp.concatenate([grid_q[k0], grid_ja[k0]], -1)
             qd_init = swap_lin_ang(grid_qd[k0])
             body_q, body_qd = eval_fk(m.env, q_init, qd_init)
@@ -191,13 +202,32 @@ class RolloutServer:
         """frame_start: (E,) starting frames (defaults to 0s).
         Returns (F, E, B, 7) maximal-coordinate frame states."""
         if frame_start is None:
-            frame_start = jnp.zeros((self.num_envs,), jnp.float32)
-        fs = jnp.asarray(frame_start, jnp.float32)
-        # grid prologue needs every start on the substep grid; checked on
-        # the concrete host values (fs is a real array pre-jit)
+            frame_start = np.zeros((self.num_envs,), np.float32)
+        # grid-ness + range checks run on the CALLER'S host array, before
+        # any device transfer (jnp.asarray after would force a device->host
+        # sync per call, and would break if a caller jit-wrapped rollout)
+        k_host = np.asarray(frame_start, np.float64)
+        if k_host.shape != (self.num_envs,):
+            raise ValueError(
+                f"frame_start shape {k_host.shape} != ({self.num_envs},)"
+            )
         sub = self.model.steps_per_fr_interval
-        k = np.asarray(fs) * sub
-        grid = bool(np.all(k == np.round(k)))
+        k = k_host * sub
+        # grid prologue needs every start on the substep grid AND inside
+        # [0, total_frames - frames] (it indexes a precomputed global
+        # table; out-of-range starts take the per-env prologue, which
+        # linearly extrapolates via _interp_amp — reference interp1d
+        # semantics, dp_model.py:421-427)
+        in_range = bool(
+            np.all(k_host >= 0)
+            and np.all(k_host <= self.model.total_frames - self.frames)
+        )
+        grid = bool(np.all(k == np.round(k))) and in_range
         if grid not in self._fns:
+            print(
+                f"RolloutServer: building {'grid' if grid else 'per-env'} "
+                f"prologue (engine={self.engine}, e_tile={self.e_tile})"
+            )
             self._fns[grid] = self._build(grid_prologue=grid)
+        fs = jnp.asarray(k_host, jnp.float32)
         return self._fns[grid](self.model.params, fs)

@@ -61,10 +61,15 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     opts = build_opts(seqname="mi-pace", logroot="/tmp/ppr_serve_bench")
 
-    cells = [
-        (c.split(":")[0], int(c.split(":")[1]))
-        for c in args.cells.split(",")
-    ]
+    cells = []
+    for c in args.cells.split(","):
+        eng, sep, et = c.strip().partition(":")
+        if not sep or not eng:
+            sys.exit(f"--cells: malformed cell {c!r} (want engine:e_tile)")
+        try:
+            cells.append((eng, int(et)))
+        except ValueError:
+            sys.exit(f"--cells: e_tile in {c!r} is not an integer")
     results = []
     for engine, et in cells:
         t_build0 = time.time()

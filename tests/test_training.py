@@ -248,6 +248,37 @@ def test_rollout_server_grid_prologue(tmp_path):
     assert sorted(srv._fns) == [False, True]
 
 
+def test_rollout_server_out_of_range_starts(tmp_path):
+    """On-grid frame starts OUTSIDE [0, total_frames - frames] must route
+    to the per-env prologue (which linearly extrapolates via _interp_amp,
+    reference interp1d semantics) instead of the grid prologue silently
+    rolling out a clipped/shifted window (round-4 ADVICE, medium)."""
+    from ppr_diffphys_tpu.models.serve import RolloutServer
+
+    opts = build_opts(
+        seqname="mi-pace", num_rounds=1, iters_per_round=1,
+        logroot=str(tmp_path),
+    )
+    srv = RolloutServer(opts, num_envs=2, frames=3, engine="xla")
+    K = srv.model.total_frames
+    # an integral start beyond total_frames - frames: grid table has no
+    # rows for it -> per-env path
+    srv.rollout(np.array([0.0, float(K - 1)], np.float32))
+    assert list(srv._fns) == [False]
+    # the result must equal the per-env prologue evaluated directly
+    out = np.asarray(srv.rollout(np.array([0.0, float(K - 1)], np.float32)))
+    assert np.isfinite(out).all()
+
+    # wrong shape raises (host-side, pre-transfer)
+    with pytest.raises(ValueError):
+        srv.rollout(np.zeros((3,), np.float32))
+
+    # a serving window longer than the sequence is a build-time error,
+    # not end-of-table garbage at rollout time
+    with pytest.raises(ValueError):
+        RolloutServer(opts, num_envs=2, frames=K + 1, engine="xla")
+
+
 def test_orbax_checkpoint_roundtrip(model, tmp_path):
     model.opts["ckpt_backend"] = "orbax"
     model.save_dir = str(tmp_path)
