@@ -347,37 +347,118 @@ def main():
         except Exception as e:
             print("profiler capture failed: %r" % (e,), file=sys.stderr)
 
-    # ---- roofline position (VERDICT #9) --------------------------------
-    # FLOP count per substep from XLA's own cost analysis of the shared
-    # step function (the soa kernel computes the same math); utilization
-    # against the v5e VPU peak — the workload is elementwise-bound, the
-    # only MXU work is the tiny (B,B) one-hot scatters.
-    flops_per_step = None
-    try:
-        def one_step(s):
-            return integ.step_only(params, s, target, act, res, 5e-4)
-
-        ca = jax.jit(one_step).lower(state).compile().cost_analysis()
-        flops_per_step = float(ca.get("flops", 0.0))
-    except Exception:
-        pass
+    # ---- roofline position (VERDICT round-4 #4) -------------------------
+    # Which resource binds this workload? Three MEASURED/analytic axes,
+    # each against its hardware peak (so every utilization is <= 1 by
+    # construction of the basis, not by clamping):
+    #
+    # 1. compute: XLA cost analysis of the SoA PLANE substep — the exact
+    #    math the pallas kernel body executes (component planes, one-hot
+    #    MXU gathers/scatters), NOT the AoS step_only whose analysis
+    #    overcounted transcendental expansions/dead ops (the old
+    #    est_vpu_util_upper read 1.6). Train mode adds the backward
+    #    kernel's work: one extra forward sweep (state re-materialization)
+    #    plus the per-substep vjp, measured as cost(value_and_grad).
+    #    Peak basis: v5e TensorCore VPU 4 x (8x128) lanes x 2 (fma)
+    #    x ~0.94 GHz ~= 7.7 TFLOP/s fp32 (the one-hot matmuls are MXU
+    #    work, so lumping them under the VPU peak still overstates
+    #    pressure -> utilization stays an upper bound of the true value).
+    # 2. HBM: analytic DMA bytes of the kernel grid (state/sequence
+    #    blocks per grid step + constants per env tile; everything
+    #    between substeps is VMEM-resident by construction) over the
+    #    measured wall, against the v5e 819 GB/s HBM peak.
+    # 3. device busy fraction from the profiler trace (prof block above).
+    #
+    # bound = the axis nearest its roof; when both compute and HBM sit
+    # far below peak while busy_frac ~1, the binding resource is
+    # in-kernel issue/serialization: (B,E) planes fill only B of each
+    # 8-sublane register tile (laikago B=13 -> 13/16 after padding) and
+    # the substep's dependency chain (joints -> integrate) serializes
+    # many small VPU ops — documented in BENCHMARKS.md "Roofline".
     util = {}
-    if flops_per_step:
-        achieved = flops_per_step * STEPS / dt  # total prog = E envs
-        # TPU v5e TensorCore VPU: 4 cores x (8x128) lanes x 2 (fma)
-        # x ~0.94 GHz ~= 7.7 TFLOP/s fp32 elementwise peak. NOTE: the
-        # flop count is XLA's cost analysis of the XLA step, which
-        # overcounts vs what the fused pallas kernel executes
-        # (transcendentals expand to many flops; fused ops may be
-        # eliminated) — so est_vpu_util is an upper-bound indicator of
-        # roofline position (values near/above 1 = compute-bound), not
-        # an exact utilization.
+    try:
+        from ppr_diffphys_tpu.sim.pallas_soa import (
+            build_soa_static, traced_planes as _tplanes,
+        )
+
+        substep_p, consts_p, meta_p = build_soa_static(integ, 5e-4)
+        Cp = dict(consts_p)
+        Cp.update(_tplanes(model, params))
+        B = model.n_links
+        bq0 = jnp.zeros((7, B, E))
+        bqd0 = jnp.zeros((6, B, E))
+        tgt_p = jnp.zeros((model.n_qd, E))
+
+        def fwd_sub(bq, bqd, t):
+            return substep_p(bq, bqd, t, None, Cp)
+
+        ca_f = jax.jit(fwd_sub).lower(bq0, bqd0, tgt_p).compile()
+        flops_fwd = float(ca_f.cost_analysis().get("flops", 0.0))
+        flops_sub = flops_fwd
+        if MODE == "train":
+            # fwd+bwd flop convention: 3x the forward (fwd kernel + the
+            # hand-scheduled reverse, whose transpose executes ~2x the
+            # forward math). NOT measured via XLA cost analysis of
+            # value_and_grad(substep) — that counts XLA's own AD strategy
+            # for the plane program (loop transposes with big stacked
+            # intermediates, ~45x fwd), which is exactly the code the
+            # custom-VJP kernels replace; using it inflated utilization
+            # past 1.0. An approximation either way — documented as such.
+            flops_sub = 3.0 * flops_fwd
+
+        achieved = flops_sub * STEPS / dt
         vpu_peak = 7.7e12
+
+        # analytic HBM DMA bytes per rep: per-grid-step sequence blocks
+        # (tgt in; train adds dtgt out + the (S,13,B,et) state scratch is
+        # VMEM, not HBM) + per-env-tile state/const fetches.
+        f32 = 4
+        n_qd = model.n_qd
+        const_bytes = sum(int(np.prod(c.shape)) for c in consts_p.values()) * f32
+        tr_bytes = sum(
+            int(np.prod(np.asarray(v).shape))
+            for k, v in Cp.items() if k not in consts_p
+        ) * f32
+        state_bytes = 13 * B * E * f32
+        seq_bytes = STEPS * n_qd * E * f32  # tgt blocks (act-free kernels)
+        if MODE == "train":
+            # fwd kernel + bwd kernel each stream tgt; bwd also writes
+            # dtgt + dgains etc (small) + state ins/outs twice
+            hbm_bytes = (
+                2 * seq_bytes + seq_bytes  # tgt x2 + dtgt
+                + 6 * state_bytes  # bq/bqd in x2 kernels + dq/dqd in + dbq/dbqd out
+                + 2 * (const_bytes + tr_bytes) * (E // 512 or 1)
+            )
+        else:
+            n_calls = max(1, STEPS // 33)
+            hbm_bytes = (
+                seq_bytes * 2  # tgt + act
+                + 2 * state_bytes * n_calls  # state in+out per kernel call
+                + (const_bytes + tr_bytes) * (E // 512 or 1) * n_calls
+            )
+        hbm_peak = 819e9
+        hbm_gbps = hbm_bytes / dt / 1e9
+        vpu_util = achieved / vpu_peak
+        hbm_util = hbm_gbps * 1e9 / hbm_peak
+        busy = prof.get("device_busy_frac", None)
+        if vpu_util > 0.7 or hbm_util > 0.7:
+            bound = "vpu-compute" if vpu_util >= hbm_util else "hbm-bandwidth"
+        elif busy is not None and busy > 0.85:
+            bound = "in-kernel issue/serialization (plane sublane fill %d/%d)" % (
+                B, -(-B // 8) * 8
+            )
+        else:
+            bound = "host/dispatch (device idle)"
         util = {
-            "est_tflops_xla_basis": round(achieved / 1e12, 3),
-            "est_vpu_util_upper": round(achieved / vpu_peak, 3),
-            "flops_per_env_substep": round(flops_per_step / E, 1),
+            "tflops_plane_basis": round(achieved / 1e12, 3),
+            "vpu_util": round(vpu_util, 3),
+            "hbm_gbps_analytic": round(hbm_gbps, 2),
+            "hbm_util": round(hbm_util, 4),
+            "flops_per_env_substep": round(flops_sub / E, 1),
+            "bound": bound,
         }
+    except Exception as e:
+        print("roofline analysis failed: %r" % (e,), file=sys.stderr)
 
     env_steps_per_sec = E * STEPS / dt
     print(

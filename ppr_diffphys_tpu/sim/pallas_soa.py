@@ -90,8 +90,11 @@ def estimate_window_vmem(
     ) * f
     if contacts_flat:
         Cfp = _pad8_128(contacts_flat, 8)
+        # chunked flat (C > FLAT_MAX_C): temporaries are per-CHUNK (Cc,E)
+        # planes, not whole-(Cf,E) — the fori_loop boundary bounds them
+        Cc = contacts_flat if contacts_flat <= FLAT_MAX_C else FLAT_CHUNK_C
         statics += (2 * Cfp * _pad8_128(B, 128) + 8 * Cfp * 128) * f
-        temps = 24 * Cfp * et * f + 30 * Bp * et * f
+        temps = 24 * _pad8_128(Cc, 8) * et * f + 30 * Bp * et * f
     else:
         statics += 8 * Bp * lane * f
         temps = 24 * lane * et * f + 30 * Bp * et * f
@@ -226,39 +229,80 @@ def _chunk_force(qb, tb, wb, vb, com_b, pt, dist, mat):
     )
 
 
-# Contact-candidate ceiling for the FLAT layout (all contacts as (Cf,E)
-# planes in one vectorized piece): the flat backward's monolithic vjp
-# keeps ~2 dozen (Cf,E) residual planes live, so it only pays off while
-# Cf x e_tile stays small — quad (208) and human (152) qualify, laikago's
-# 1454 hull candidates stay on the per-body chunk/loop paths.
-# Measured on v5e (docs/results/round4/quad_bench.jsonl, 1024 envs,
-# train fwd+bwd): flat beats loop/XLA 1.5-2.2x at C=152/208 at both
-# rates; the laikago control (C=1454) correctly stays on loop at the
-# round-3 level. No template sits between 320 and 1454 to measure the
-# exact crossover; 320 keeps the flat residual planes within the same
-# VMEM budget the planner uses for the loop layout.
+# Contact-candidate ceiling for the MONOLITHIC flat layout (all contacts
+# as (Cf,E) planes in one vectorized piece): the flat backward's
+# monolithic vjp keeps ~2 dozen (Cf,E) residual planes live, so one
+# piece only pays off while Cf x e_tile stays small — quad (208) and
+# human (152) qualify. Measured on v5e (docs/results/round4/
+# quad_bench.jsonl, 1024 envs, train fwd+bwd): flat beats loop/XLA
+# 1.5-2.2x at C=152/208 at both rates.
 FLAT_MAX_C = 320
 
+# Chunk row count for the CHUNKED flat layout (dense-contact robots,
+# C > FLAT_MAX_C, e.g. laikago's 1454 hull candidates): contacts are
+# partitioned into K uniform chunks of FLAT_CHUNK_C rows whose constants
+# carry a leading K axis and stay VMEM *refs*, indexed ref[k] inside a
+# fori_loop — so forward work is fully vectorized per chunk while the
+# backward transpose keeps only ONE chunk's (Cc,E) vjp residuals live
+# (the VMEM blowup that capped the monolithic layout at 320 rows).
+# Replaces the per-BODY loop whose padded blocks (laikago: 13 x Cm=192 =
+# 2496 rows for 1454 useful) serialized the backward (VERDICT round-4 #3).
+# 256 = 2 full 128-lane tiles, so the (B,Cc) scatter operand pads zero
+# lanes (320 would pad to 384); laikago: K=6 chunks, 5.6% row padding.
+FLAT_CHUNK_C = 256
 
-def flat_contact_pad(model, layout: str = "auto") -> int:
-    """Padded flat-contact row count (0 = the chunk/loop layout is used).
 
-    layout: 'auto' (flat iff 0 < C <= FLAT_MAX_C), 'flat', 'loop';
-    the PPR_SOA_CONTACT_LAYOUT env var overrides 'auto' (the HW bench
-    switch for adjudicating the quad-class cell, VERDICT round-3 #4)."""
+def flat_layout_plan(model, layout: str = "auto"):
+    """Flat-contact plan ``(Cf_total, Cc, K)``: total padded rows, rows
+    per chunk, chunk count. ``(0, 0, 0)`` = the per-body loop layout.
+    K == 1 is the monolithic flat layout (single (Cf,E) piece).
+
+    layout: 'auto' (monolithic flat iff 0 < C <= FLAT_MAX_C — measured
+    on v5e, round-4 quad_bench.jsonl; dense-contact robots stay on loop
+    per the round-5 adjudication, laikago_flat_bench.jsonl), 'flat'
+    (forced; chunked when C > FLAT_MAX_C), 'flat-mono' (forced
+    monolithic at ANY C — bench switch; needs e_tile <= 256 at laikago
+    scale for the vjp residual planes), 'loop'; the
+    PPR_SOA_CONTACT_LAYOUT env var overrides 'auto' (the HW bench
+    switch for adjudicating layout cells, VERDICT round-3 #4 /
+    round-4 #3)."""
     import os
 
     C = int(model.contact_count)
     if layout == "auto":
         layout = os.environ.get("PPR_SOA_CONTACT_LAYOUT", "auto")
     if layout == "loop" or C == 0:
-        return 0
-    if layout != "flat" and C > FLAT_MAX_C:
-        return 0
-    return max(8, -(-C // 8) * 8)
+        return 0, 0, 0
+    if C <= FLAT_MAX_C or layout == "flat-mono":
+        Cc = max(8, -(-C // 8) * 8)
+        return Cc, Cc, 1
+    if layout != "flat":
+        return 0, 0, 0
+    K = -(-C // FLAT_CHUNK_C)
+    return K * FLAT_CHUNK_C, FLAT_CHUNK_C, K
+
+
+def flat_contact_pad(model, layout: str = "auto") -> int:
+    """Total padded flat-contact row count (0 = the loop layout);
+    back-compat wrapper of :func:`flat_layout_plan`."""
+    return flat_layout_plan(model, layout)[0]
 
 
 TRACED_NAMES = ("gains", "inv_m", "inertia", "inv_inertia")
+
+# Constants whose names carry this suffix have a leading chunk axis and
+# must stay VMEM refs inside kernels (indexed ref[k] per chunk inside a
+# fori_loop — Mosaic lowers dynamic leading-dim indexing on refs but not
+# on loaded values); everything else is loaded whole at kernel entry.
+CHUNKED_CONST_SUFFIX = "_ck"
+
+
+def load_consts(names, refs):
+    """Kernel-entry constant load honoring the chunked-ref contract."""
+    return {
+        n: (r if n.endswith(CHUNKED_CONST_SUFFIX) else r[:])
+        for n, r in zip(names, refs)
+    }
 
 # live joint-anchor planes (lab4d query_ja override, reference
 # dp_interface.py:438-466) — traced only when the kernel is built with
@@ -441,9 +485,11 @@ def build_soa_static(
     # work. The flat layout computes ALL contacts as (Cf,E) planes in one
     # vectorized force-law evaluation, with one-hot MXU matmuls gathering
     # body states per contact (Sg) and scattering row forces back (Ss).
-    Cf = flat_contact_pad(model, contact_layout)
+    # Dense-contact robots (C > FLAT_MAX_C) use the CHUNKED variant:
+    # K uniform chunks of Cc rows, constants ref-indexed per chunk.
+    Cf, Cc_flat, K_flat = flat_layout_plan(model, contact_layout)
     C_real = int(model.contact_count)
-    if Cf:
+    if Cf and K_flat == 1:
         Sg_np = np.zeros((Cf, B), np.float32)
         Sg_np[np.arange(C_real), cb] = 1.0
         cpt_fl = np.zeros((3, Cf, 1), np.float32)
@@ -456,6 +502,25 @@ def build_soa_static(
         cmat_fl[:, :C_real, 0] = model.contact_material.T
         com_fl = np.zeros((3, Cf, 1), np.float32)  # body COM per contact
         com_fl[:, :C_real, 0] = np.asarray(model.body_com)[cb].T
+    elif Cf:
+        Cc = Cc_flat
+        Sg_ck = np.zeros((K_flat, Cc, B), np.float32)
+        cpt_ck = np.zeros((K_flat, 3, Cc, 1), np.float32)
+        cdist_ck = np.full((K_flat, Cc, 1), -1e6, np.float32)  # pads inactive
+        cmat_ck = np.zeros((K_flat, 4, Cc, 1), np.float32)
+        com_ck = np.zeros((K_flat, 3, Cc, 1), np.float32)
+        for kk in range(K_flat):
+            lo = kk * Cc
+            hi = min(lo + Cc, C_real)
+            n = hi - lo
+            if n <= 0:
+                continue
+            Sg_ck[kk, np.arange(n), cb[lo:hi]] = 1.0
+            cpt_ck[kk, :, :n, 0] = model.contact_point[lo:hi].T
+            cdist_ck[kk, :n, 0] = model.contact_dist[lo:hi]
+            cmat_ck[kk, :, :n, 0] = model.contact_material[lo:hi].T
+            com_ck[kk, :, :n, 0] = np.asarray(model.body_com)[cb[lo:hi]].T
+        Ss_ck = Sg_ck.transpose(0, 2, 1).copy()  # (K,B,Cc)
 
     const_arrays = dict(
         P_gather=jnp.asarray(P_gather),
@@ -473,7 +538,7 @@ def build_soa_static(
         D=jnp.asarray(D),
         lim=jnp.asarray(lim, F32),
     )
-    if Cf:
+    if Cf and K_flat == 1:
         # flat layout replaces every chunk/loop contact constant
         const_arrays.update(
             Sg=jnp.asarray(Sg_np),
@@ -482,6 +547,17 @@ def build_soa_static(
             cdist_fl=jnp.asarray(cdist_fl),
             cmat_fl=jnp.asarray(cmat_fl),
             com_fl=jnp.asarray(com_fl),
+        )
+    elif Cf:
+        # chunked flat: leading-K constants, kept as VMEM refs in-kernel
+        # (the _ck suffix is the load_consts contract)
+        const_arrays.update(
+            Sg_ck=jnp.asarray(Sg_ck),
+            Ss_ck=jnp.asarray(Ss_ck),
+            cpt_ck=jnp.asarray(cpt_ck),
+            cdist_ck=jnp.asarray(cdist_ck),
+            cmat_ck=jnp.asarray(cmat_ck),
+            com_ck=jnp.asarray(com_ck),
         )
     else:
         const_arrays.update(
@@ -880,9 +956,84 @@ def build_soa_static(
         _, vjp = jax.vjp(lambda a, b: contact_rows_flat(a, b, C), bq, bqd)
         return vjp((tuple(d_rows_t), tuple(d_rows_f)))
 
-    if Cf:
+    def _flat_chunk_rows(bq, bqd, Sg_k, Ss_k, com_k, cpt_k, dist_k, mat_k):
+        """One flat chunk's contribution to the contact row planes:
+        gather the chunk's body states via the (Cc,B) one-hot, evaluate
+        the raw force law on (Cc,E) planes, scatter back via (B,Cc).
+        Returns ((B,E) x3, (B,E) x3) — summed over chunks by the caller."""
+        g = lambda plane: _mm(Sg_k, plane)
+        qb = tuple(g(bq[3 + j]) for j in range(4))
+        tb = tuple(g(bq[j]) for j in range(3))
+        wb = tuple(g(bqd[j]) for j in range(3))
+        vb = tuple(g(bqd[3 + j]) for j in range(3))
+        t_tot, f_tot = _contact_force_raw(
+            qb, tb, wb, vb,
+            tuple(com_k[j] for j in range(3)),
+            tuple(cpt_k[j] for j in range(3)),
+            dist_k,
+            tuple(mat_k[j] for j in range(4)),
+        )
+        return (
+            tuple(-_mm(Ss_k, t_tot[j]) for j in range(3)),
+            tuple(-_mm(Ss_k, f_tot[j]) for j in range(3)),
+        )
+
+    def _flat_chunk_consts(C, k):
+        """Chunk k's constants. In-kernel the _ck entries are VMEM refs
+        (load_consts) so ref[k] is a dynamic-index load; outside pallas
+        they are jnp values and [k] is an ordinary gather."""
+        return (
+            C["Sg_ck"][k], C["Ss_ck"][k], C["com_ck"][k],
+            C["cpt_ck"][k], C["cdist_ck"][k], C["cmat_ck"][k],
+        )
+
+    def contact_rows_flat_chunked(bq, bqd, C):
+        """Chunked flat layout (dense-contact robots): fori_loop over K
+        uniform contact chunks, each a fully vectorized (Cc,E) piece —
+        K=6 iterations for laikago vs 13 per-body iterations of padded
+        (1,192,E) blocks. Signature-compatible with contact_rows."""
+        E = bq.shape[-1]
+
+        def body(k, carry):
+            t_acc, f_acc = carry  # (3,B,E) each
+            dt_, df_ = _flat_chunk_rows(bq, bqd, *_flat_chunk_consts(C, k))
+            t_acc = t_acc + jnp.stack(dt_, 0)
+            f_acc = f_acc + jnp.stack(df_, 0)
+            return t_acc, f_acc
+
+        zero = jnp.zeros((3, B, E), F32)
+        t, f = jax.lax.fori_loop(0, K_flat, body, (zero, zero))
+        return tuple(t[j] for j in range(3)), tuple(f[j] for j in range(3))
+
+    def contact_bwd_flat_chunked(bq, bqd, C, d_rows_t, d_rows_f):
+        """Transpose of contact_rows_flat_chunked: fori_loop over chunks,
+        one jax.vjp per chunk — the loop boundary bounds live VMEM to ONE
+        chunk's (Cc,E) residuals (the reason the monolithic flat vjp is
+        capped at FLAT_MAX_C rows). Each chunk's contribution enters the
+        row planes additively, so every chunk sees the same row cotangent
+        and the chunk cotangents sum to the full transpose."""
+        E = bq.shape[-1]
+        ct = (tuple(d_rows_t), tuple(d_rows_f))
+
+        def body(k, carry):
+            dbq, dbqd = carry
+            consts = _flat_chunk_consts(C, k)
+            _, vjp = jax.vjp(
+                lambda a, b: _flat_chunk_rows(a, b, *consts), bq, bqd
+            )
+            gq, gqd = vjp(ct)
+            return dbq + gq, dbqd + gqd
+
+        zero_q = jnp.zeros((7, B, E), F32)
+        zero_qd = jnp.zeros((6, B, E), F32)
+        return jax.lax.fori_loop(0, K_flat, body, (zero_q, zero_qd))
+
+    if Cf and K_flat == 1:
         fwd_rows = loop_rows = contact_rows_flat
         bwd_rows = contact_bwd_flat
+    elif Cf:
+        fwd_rows = loop_rows = contact_rows_flat_chunked
+        bwd_rows = contact_bwd_flat_chunked
     else:
         fwd_rows, loop_rows, bwd_rows = (
             contact_rows, contact_rows_loop, contact_bwd,
@@ -902,6 +1053,7 @@ def build_soa_static(
 
     meta = dict(
         B=B, n_qd=n_qd, dof_idx=dof_idx, contacts_flat=Cf,
+        flat_chunk=Cc_flat, flat_k=K_flat,
         contact_rows=fwd_rows, contact_rows_loop=loop_rows,
         contact_bwd=bwd_rows, substep_rest=substep_rest,
     )
@@ -969,7 +1121,7 @@ def build_soa_window(
         (fq_ref, fqd_ref, fgrf_ref, fjaf_ref,
          lq_ref, lqd_ref, lgrf_ref, ljaf_ref) = refs[10 + n_const : 18 + n_const]
         sq_ref, sqd_ref = refs[18 + n_const :]
-        C = {n: r[:] for n, r in zip(const_names, const_refs)}
+        C = load_consts(const_names, const_refs)
         C.update(zip(TRACED_NAMES, (r[:] for r in traced_refs)))
         f = pl.program_id(1)
 
@@ -1119,7 +1271,7 @@ def build_soa_rollout(
         bq_ref, bqd_ref, tgt_ref, act_ref = refs[:4]
         const_refs = refs[4 : 4 + len(const_names)]
         out_q_ref, out_qd_ref = refs[4 + len(const_names) :]
-        C = {n: r[:] for n, r in zip(const_names, const_refs)}
+        C = load_consts(const_names, const_refs)
 
         def body(i, carry):
             bq, bqd = carry

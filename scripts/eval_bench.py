@@ -36,7 +36,7 @@ def _init_devices():
     return jax
 
 
-def measure(jax, eval_engine):
+def measure(jax, eval_engine, seqname="mi-pace"):
     import numpy as np
 
     from ppr_diffphys_tpu.data.amp_loader import DataLoader
@@ -44,7 +44,7 @@ def measure(jax, eval_engine):
     from ppr_diffphys_tpu.utils.config import build_opts
 
     opts = build_opts(
-        seqname="mi-pace", logroot="/tmp/ppr_eval_bench",
+        seqname=seqname, logroot="/tmp/ppr_eval_bench",
         eval_engine=eval_engine,
     )
     m = phys_model(opts, DataLoader(opts))
@@ -72,6 +72,7 @@ def measure(jax, eval_engine):
     t_eval_steady = (time.time() - t0) / reps
     return {
         "metric": "full_sequence_eval",
+        "seqname": seqname,
         "eval_engine": eval_engine,
         "resolved": m.resolve_engine(is_train=False),
         "padded_envs": m.num_envs,
@@ -87,12 +88,13 @@ def measure(jax, eval_engine):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/results/round4/eval_bench.jsonl")
+    ap.add_argument("--seqname", default="mi-pace")
     args = ap.parse_args()
     jax = _init_devices()
     dev = str(jax.devices()[0])
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     for ev in ("auto", "xla"):
-        row = measure(jax, ev)
+        row = measure(jax, ev, seqname=args.seqname)
         row["device"] = dev
         with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")

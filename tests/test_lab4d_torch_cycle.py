@@ -184,3 +184,52 @@ def test_correct_scale_torch_backed(interface):
     ls0 = float(m.params["scene_field"]["logscale"])
     m.correct_scale(np.array([0, 1]), increment=0.05, max_steps=3)
     assert float(m.params["scene_field"]["logscale"]) != ls0
+
+
+def test_multi_cycle_dr_dp_soak(torch_setup, interface):
+    """THREE alternating DR<->DP cycles with the distill loss active
+    (pos_distill_wt=0.1 in the fixture opts) and correct_scale in the
+    loop, the reference's actual PPR alternation (dp_interface.py:188-197,
+    :279-325) — each cycle: pull DR state, train 2 iters, push the
+    refined proxy back, export to torch, re-adapt, and verify the
+    round trip is exact. Losses must stay finite across every cycle
+    (VERDICT round-4 next-step #6: soak the hand-off, not single-shot)."""
+    from ppr_diffphys_tpu.models.interface import KinematicsProxy
+    from ppr_diffphys_tpu.models.torch_adapter import (
+        export_object_field_to_torch, object_field_from_torch,
+    )
+
+    m = interface
+    t_obj = torch_setup["t_obj"]
+    losses = []
+    for cycle in range(3):
+        # DR -> DP: pull current (torch-refined) field state; each DP
+        # phase starts with a train-env reinit (the reference driver's
+        # per-phase cadence, main.py:86 — correct_scale leaves the model
+        # in eval-env mode)
+        m.override_control_ref_states()
+        m.reinit_envs(2, frames_per_wdw=2, is_eval=False)
+        # DP: two training iterations with pos_distill active
+        for _ in range(2):
+            out = m.forward()
+            loss = float(out["total_loss"])
+            assert np.isfinite(loss), (cycle, loss)
+            losses.append(loss)
+            m.update()
+        assert float(out.get("loss_pos_distill", 0.0)) >= 0
+        # scale calibration rides along (cheap walk)
+        m.correct_scale(np.array([0, 1]), increment=0.05, max_steps=2)
+        # DP -> DR: push back + export to the live torch modules
+        KinematicsProxy(m).override_states_inv()
+        export_object_field_to_torch(m.params["object_field"], t_obj)
+        # the hand-off is exact EVERY cycle: re-adapting the torch
+        # modules reproduces the pushed-back tree bit-for-bit
+        _, re_params = object_field_from_torch(
+            t_obj, torch_setup["robot"], jax.random.PRNGKey(100 + cycle)
+        )
+        for k in ("logscale", "camera_mlp", "articulation"):
+            a = jax.tree_util.tree_leaves(m.params["object_field"][k])
+            b = jax.tree_util.tree_leaves(re_params[k])
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert len(losses) == 6 and all(np.isfinite(losses))
