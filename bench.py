@@ -206,8 +206,12 @@ def main():
     act = jnp.zeros((E, model.n_qd))
     res = jnp.zeros((E, model.n_links, 6))
 
+    kernel_detail = {}  # kernel-structure choices, spliced into detail
+
     def build_soa():
-        from ppr_diffphys_tpu.sim.pallas_soa import build_soa_rollout
+        from ppr_diffphys_tpu.sim.pallas_soa import (
+            build_soa_rollout, flat_contact_pad,
+        )
 
         INTERVAL = 33  # substeps per kernel invocation (one mocap frame)
         n_iv = STEPS // INTERVAL
@@ -216,10 +220,12 @@ def main():
         # default e_tile=512: measured fastest on v5e (23.05M vs 22.85M
         # at 128 vs 22.56M at 256 env-steps/s; docs/results/round4/
         # bench_grid.jsonl, device_busy_frac 0.956)
-        kern = build_soa_rollout(
-            integ, params, 5e-4, INTERVAL,
-            e_tile=int(os.environ.get("PPR_BENCH_ETILE", "512")),
+        et = int(os.environ.get("PPR_BENCH_ETILE", "512"))
+        kernel_detail.update(
+            e_tile=et,
+            contact_layout="flat" if flat_contact_pad(model) else "loop",
         )
+        kern = build_soa_rollout(integ, params, 5e-4, INTERVAL, e_tile=et)
 
         def run_soa(state, n):
             for _ in range(n):
@@ -259,7 +265,8 @@ def main():
 
         if ENGINE == "soa":
             from ppr_diffphys_tpu.sim.pallas_soa_grad import (
-                make_diff_chain, pick_e_tile, plan_chunks, rollout_soa,
+                make_diff_chain, pick_e_tile, pick_residuals_mode,
+                plan_chunks, rollout_soa,
             )
 
             # the production training path (phys_model._soa_interval):
@@ -270,6 +277,17 @@ def main():
             et = int(os.environ.get("PPR_BENCH_ETILE", "0")) or pick_e_tile(
                 INTERVAL, model.n_links, model.n_qd,
                 with_res=False, with_act=False, contacts_flat=cfl,
+            )
+            # record kernel-structure choices in the artifact so bench
+            # rows are self-describing (which residuals mode / contact
+            # layout each measurement actually ran)
+            kernel_detail.update(
+                e_tile=et,
+                contact_layout="flat" if cfl else "loop",
+                residuals=pick_residuals_mode(
+                    INTERVAL, model.n_links, model.n_qd, et,
+                    with_res=False, with_act=False, contacts_flat=cfl,
+                ),
             )
             print("e_tile: %d%s" % (et, " (flat contacts)" if cfl else ""),
                   file=sys.stderr)
@@ -480,6 +498,7 @@ def main():
                     "engine": ENGINE,
                     "mode": MODE,
                     "device": str(jax.devices()[0]),
+                    **kernel_detail,
                     **util,
                     **prof,
                 },

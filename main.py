@@ -71,9 +71,10 @@ flags.DEFINE_string(
     "default)")
 flags.DEFINE_string(
     "eval_engine", "auto",
-    "full-sequence eval engine: 'auto' = chain the training-interval soa "
-    "kernels (eval envs padded to the training width so no new Mosaic "
-    "specialization compiles), 'xla' = the lax.scan path")
+    "full-sequence eval engine: 'auto' = the lax.scan path (measured "
+    "fastest on both first and steady eval walls, eval_bench.jsonl "
+    "rounds 4+5), 'xla' = same explicitly, 'soa' = chain the padded "
+    "training-interval soa kernels (no new Mosaic specialization)")
 flags.DEFINE_string(
     "contact_mode", "hull",
     "ground-contact candidate set: 'hull' (convex hull per shape; exact "

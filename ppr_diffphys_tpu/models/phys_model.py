@@ -737,25 +737,31 @@ class phys_model:
         """Resolve opts['phys_engine'] ('auto' default: the differentiable
         pallas megakernel on TPU, the XLA scan elsewhere).
 
-        EVAL on 'auto' also rides the soa kernels (VERDICT round-3 #6) —
-        but via the SAME per-interval kernel specialization training
-        compiles, not a fresh whole-window one: ``reinit_envs`` pads the
-        single eval env up to the training env width (``_eval_env_pad``),
-        so the lane tile matches the training kernels and the eval jit
-        reuses their Mosaic artifacts instead of compiling a pathological
-        lane-1 whole-sequence kernel (~9 min measured on v5e round 3).
-        ``opts['eval_engine']='xla'`` restores the old routing. The lab4d
-        live joint-anchor override (joint_X_p traced per-env, reference
-        dp_interface.py:438-466) runs on soa too: the kernels thread the
-        anchors as traced XP_NAMES planes (``with_xp``)."""
+        EVAL on 'auto' routes to the XLA scan — measured on v5e on BOTH
+        eval-bench sequences (docs/results/round{4,5}/eval_bench.jsonl):
+        XLA eval beats the padded-soa routing on first (compile) AND
+        steady walls (mi-pace 39-frame: 26.6 s / 0.163 s vs 39.4 s /
+        0.202 s; mi-sidesteps 146-frame 24 Hz: 38 s / 10.5 s vs 203 s /
+        21.7 s). The round-4 rationale for padded-soa (skip a second
+        engine's compile when training runs soa) did not survive the
+        second measurement: the whole-sequence orchestration around the
+        reused interval kernels costs more than the XLA eval program
+        itself. ``opts['eval_engine']='soa'`` keeps the padded-soa
+        routing selectable: ``reinit_envs`` pads the single eval env up
+        to the training env width (``_eval_env_pad``) so the eval jit
+        reuses the training kernels' Mosaic artifacts instead of
+        compiling a pathological lane-1 whole-sequence kernel (~9 min
+        measured on v5e round 3). The lab4d live joint-anchor override
+        (joint_X_p traced per-env, reference dp_interface.py:438-466)
+        runs on either engine: the soa kernels thread the anchors as
+        traced XP_NAMES planes (``with_xp``)."""
         eng = self.opts.get("phys_engine", "auto") or "auto"
         if eng == "auto":
             on_tpu = jax.default_backend() == "tpu"
-            if not is_train and (
-                not on_tpu
-                or (self.opts.get("eval_engine", "auto") or "auto") == "xla"
-            ):
-                return "xla"
+            if not is_train:
+                ev = self.opts.get("eval_engine", "auto") or "auto"
+                # explicit --eval_engine soa wins (like phys_engine)
+                return "soa" if ev == "soa" else "xla"
             eng = "soa" if on_tpu else "xla"
             # Round-3's quad-class exception (many dofs, sparse contacts
             # routed to the XLA scan) is retired: the flat contact layout

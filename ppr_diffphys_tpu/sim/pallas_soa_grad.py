@@ -49,6 +49,44 @@ def _params(interpret: bool, vmem_limit_bytes: int):
     return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
 
 
+def pick_residuals_mode(
+    S, B, n_qd, e_tile, *,
+    residuals: str = "auto",
+    with_res: bool = False,
+    with_act: bool = False,
+    with_xp: bool = False,
+    contacts_flat: int = 0,
+    vmem_limit_bytes: int = VMEM_LIMIT,
+) -> str:
+    """Resolve the backward residuals mode make_diff_interval will use:
+    the cheapest of resid > rows > plain whose backward VMEM estimate
+    fits the budget at the GIVEN e_tile (tile choice stays with the
+    measured pick_e_tile policy and is never shrunk to afford a mode).
+    'auto' honors the PPR_SOA_RESIDUALS env override (HW bench switch).
+    Exposed so bench/adjudication artifacts can RECORD the picked mode
+    alongside their measurements."""
+    if residuals == "auto":
+        residuals = os.environ.get("PPR_SOA_RESIDUALS", "auto")
+    if residuals == "auto":
+        budget = vmem_limit_bytes - 12 * 2 ** 20
+        kw = dict(
+            with_res=with_res, with_act=with_act, with_xp=with_xp,
+            contacts_flat=contacts_flat,
+        )
+        if estimate_interval_vmem(
+            S, B, n_qd, e_tile, residuals="resid", **kw
+        ) <= budget:
+            residuals = "resid"
+        elif estimate_interval_vmem(
+            S, B, n_qd, e_tile, residuals="rows", **kw
+        ) <= budget:
+            residuals = "rows"
+        else:
+            residuals = "plain"
+    assert residuals in ("resid", "rows", "plain"), residuals
+    return residuals
+
+
 def make_diff_interval(
     integrator: SemiImplicitIntegrator,
     dt: float,
@@ -112,25 +150,12 @@ def make_diff_interval(
     substep_rest = meta["substep_rest"]
     B, n_qd = meta["B"], meta["n_qd"]
     S = substeps
-    if residuals == "auto":
-        residuals = os.environ.get("PPR_SOA_RESIDUALS", "auto")
-    if residuals == "auto":
-        budget = vmem_limit_bytes - 12 * 2 ** 20
-        kw = dict(
-            with_res=with_res, with_act=with_act, with_xp=with_xp,
-            contacts_flat=meta["contacts_flat"],
-        )
-        if estimate_interval_vmem(
-            S, B, n_qd, e_tile, residuals="resid", **kw
-        ) <= budget:
-            residuals = "resid"
-        elif estimate_interval_vmem(
-            S, B, n_qd, e_tile, residuals="rows", **kw
-        ) <= budget:
-            residuals = "rows"
-        else:
-            residuals = "plain"
-    assert residuals in ("resid", "rows", "plain"), residuals
+    residuals = pick_residuals_mode(
+        S, B, n_qd, e_tile, residuals=residuals,
+        with_res=with_res, with_act=with_act, with_xp=with_xp,
+        contacts_flat=meta["contacts_flat"],
+        vmem_limit_bytes=vmem_limit_bytes,
+    )
     tr_names = TRACED_NAMES + (XP_NAMES if with_xp else ())
     n_tr = len(tr_names)
     static_names = [n for n in static_consts if not (with_xp and n in XP_NAMES)]

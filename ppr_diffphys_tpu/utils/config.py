@@ -44,8 +44,10 @@ DEFAULT_OPTS = dict(
     frames_per_wdw=24,
     mesh_shape=None,  # {"dp": 4, "tp": 2} or "dp=4,tp=2"; None = auto dp
     phys_engine="auto",  # soa | xla | auto (soa on TPU)
-    eval_engine="auto",  # auto (ride the padded training soa kernels on
-    #                      TPU) | xla (round-3 routing: eval on the scan)
+    eval_engine="auto",  # auto (XLA scan — measured fastest on both
+    #                      first and steady eval walls, round-4/5
+    #                      eval_bench.jsonl) | xla | soa (force eval to
+    #                      ride the padded training soa kernels)
     contact_mode="hull",  # hull | all | hull:<margin>
     soa_e_tile=0,  # 0 = auto: largest single-kernel tile (pick_e_tile)
     soa_ksub=0,  # substeps per pallas call; 0 = auto VMEM plan

@@ -381,11 +381,14 @@ def test_rollout_server_auto_defaults(tmp_path):
 
 
 def test_resolve_engine_auto_policy(model):
-    """The measured 'auto' engine routing (BENCHMARKS.md round 4):
+    """The measured 'auto' engine routing (BENCHMARKS.md rounds 4-5):
     TPU -> soa for every template (the flat contact layout retired the
     round-3 quad exception: 4.53M flat-soa vs 2.21M XLA env-steps/s,
-    docs/results/round4/quad_bench.jsonl); CPU -> XLA; --eval_engine xla
-    restores XLA eval; explicit flags win."""
+    docs/results/round4/quad_bench.jsonl); CPU -> XLA; EVAL -> XLA (the
+    round-5 flip: XLA eval measured faster on both first and steady
+    walls on both eval-bench sequences, docs/results/round{4,5}/
+    eval_bench.jsonl); --eval_engine soa forces the padded-training-
+    kernel eval routing; explicit flags win."""
     import types
 
     m = types.SimpleNamespace()  # a phys_model shell with just the bits
@@ -409,14 +412,16 @@ def test_resolve_engine_auto_policy(model):
         assert resolve(mk(57, 152, 19), is_train=True) == "soa"
         # quad-shaped: flat contact layout makes soa the winner (round 4)
         assert resolve(mk(81, 208, 26), is_train=True) == "soa"
-        # eval rides the padded training soa kernels (round-4 routing)
-        assert resolve(mk(18, 1454, 13), is_train=False) == "soa"
-        assert resolve(mk(81, 208, 26), is_train=False) == "soa"
-        # --eval_engine xla restores the round-3 eval routing
+        # eval routes to XLA (round-5 flip, measured on both sequences)
+        assert resolve(mk(18, 1454, 13), is_train=False) == "xla"
+        assert resolve(mk(81, 208, 26), is_train=False) == "xla"
+        # --eval_engine soa forces the padded training-kernel routing
         m3 = mk(18, 1454, 13)
+        m3.opts["eval_engine"] = "soa"
+        assert resolve(m3, is_train=False) == "soa"
+        assert resolve(m3, is_train=True) == "soa"
         m3.opts["eval_engine"] = "xla"
         assert resolve(m3, is_train=False) == "xla"
-        assert resolve(m3, is_train=True) == "soa"
         # explicit flag always wins
         assert resolve(mk(81, 208, 26, engine="soa"), is_train=True) == "soa"
         assert resolve(mk(18, 1454, 13, engine="xla"), is_train=True) == "xla"
