@@ -671,14 +671,36 @@ def pick_e_tile(
     train fwd+bwd): throughput rises monotonically with tile size while
     single-kernel — laikago 60 Hz 1.49/1.79/1.87M env-steps/s at
     128/256/512 — and dips past it (1.81M at 1024); chunked plans lose
-    the larger tile's gain to the chunk-boundary HBM round-trips."""
-    for et in (512, 256):
-        if plan_chunks(
+    the larger tile's gain to the chunk-boundary HBM round-trips.
+
+    Joint tile x residuals-mode rule: if tile 512 cannot afford the
+    'resid' backward (forward-exported per-substep primals — the
+    cheapest backward, it drops the entire forward re-sweep) but 256
+    can, return 256. Measured on v5e (laikago 24 Hz, 1024 envs,
+    docs/results/round5/train_tile_sweep.jsonl): 256+resid 2.72M
+    env-steps/s vs 512+rows 2.26M and 256+rows 2.13M — the mode is
+    worth ~27% at matched tile, the halved tile costs ~10%. The rule is
+    bounded to the measured scope: no halving below 256 (tile 128 was
+    measured 20% slower than 512 on laikago 60 Hz, so an unmeasured
+    128+resid is not presumed to beat a measured 256)."""
+    def single_kernel(et):
+        return plan_chunks(
             substeps, B, n_qd, et, with_res, with_act, contacts_cm,
             with_xp=with_xp, contacts_flat=contacts_flat,
-        ) == [substeps]:
-            return et
-    return 128
+        ) == [substeps]
+
+    kw = dict(
+        with_res=with_res, with_act=with_act, with_xp=with_xp,
+        contacts_flat=contacts_flat,
+    )
+
+    def affords_resid(et):
+        return pick_residuals_mode(substeps, B, n_qd, et, **kw) == "resid"
+
+    et = next((t for t in (512, 256) if single_kernel(t)), 128)
+    if et == 512 and not affords_resid(512) and affords_resid(256):
+        return 256
+    return et
 
 
 def make_diff_chain(

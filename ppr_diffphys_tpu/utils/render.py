@@ -2,8 +2,10 @@
 
 Replaces the reference's pyrender/EGL wrapper (diffphys/pyrender_wrapper.py)
 with a dependency-free software pipeline: Python handles cameras and
-geometry, the C++ shared library does z-buffered flat-shaded scan
-conversion. The library is compiled on first use with g++ -O3.
+geometry, the C++ shared library does z-buffered smooth-shaded scan
+conversion (per-vertex normals + directional/ambient/specular lighting
+approximating the reference's DirectionalLight on a metallic-roughness
+material, pyrender_wrapper.py:34-37). Compiled on first use with g++ -O3.
 """
 
 from __future__ import annotations

@@ -713,21 +713,30 @@ def test_rollout_soa_residuals_modes_match_xla(setup, monkeypatch, mode):
 
 
 def test_pick_e_tile_template_grid():
-    """Pin the auto env-tile choices for the production template x rate
-    grid (BENCHMARKS.md round 3: tiles measured faster while
-    single-kernel; 24 Hz big templates drop to 256)."""
-    from ppr_diffphys_tpu.sim.pallas_soa_grad import pick_e_tile, plan_chunks
+    """Pin the auto (env-tile, residuals-mode) choices for the
+    production template x rate grid. Round-5 joint rule (measured,
+    docs/results/round5/train_tile_sweep.jsonl): when tile 512 cannot
+    afford the 'resid' backward but 256 can, halve to 256 — on laikago
+    24 Hz 256+resid measured 2.72M env-steps/s vs 512+rows 2.26M; on
+    quad the flipped cell measured 5.08M (round 4: 4.53M). No halving
+    below 256 (tile 128 measured 20% slower than 512 on laikago 60 Hz,
+    BENCHMARKS.md round 3)."""
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import (
+        pick_e_tile, pick_residuals_mode, plan_chunks,
+    )
 
     grid = {
-        (33, 13, 18): 512,  # laikago 60 Hz (measured 1.87M env-steps/s)
-        (83, 13, 18): 512,  # laikago 24 Hz
-        (33, 26, 81): 512,  # quad 60 Hz
-        (83, 26, 81): 256,  # quad 24 Hz
-        (33, 19, 57): 512,  # human 60 Hz (measured 3.39M)
-        (83, 19, 57): 256,  # human 24 Hz (measured 2.96M)
+        (33, 13, 18): (512, "resid"),  # laikago 60 Hz (measured 2.89M)
+        (83, 13, 18): (256, "resid"),  # laikago 24 Hz (2.72M > 512+rows 2.26M)
+        (33, 26, 81): (256, "resid"),  # quad 60 Hz (measured 5.08M)
+        (83, 26, 81): (256, "plain"),  # quad 24 Hz (resid over VMEM budget)
+        (33, 19, 57): (256, "resid"),  # human 60 Hz
+        (83, 19, 57): (256, "rows"),   # human 24 Hz (resid over VMEM budget)
     }
-    for (sub, B, n_qd), want in grid.items():
+    for (sub, B, n_qd), (want_et, want_mode) in grid.items():
         et = pick_e_tile(sub, B, n_qd, with_act=False)
-        assert et == want, ((sub, B, n_qd), et, want)
+        assert et == want_et, ((sub, B, n_qd), et, want_et)
+        mode = pick_residuals_mode(sub, B, n_qd, et, with_act=False)
+        assert mode == want_mode, ((sub, B, n_qd), mode, want_mode)
         # the chosen tile really is single-kernel
         assert plan_chunks(sub, B, n_qd, et, with_act=False) == [sub]
