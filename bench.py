@@ -461,12 +461,20 @@ def main():
         busy = prof.get("device_busy_frac", None)
         if vpu_util > 0.7 or hbm_util > 0.7:
             bound = "vpu-compute" if vpu_util >= hbm_util else "hbm-bandwidth"
-        elif busy is not None and busy > 0.85:
+        elif busy is None:
+            # no profiler trace (PPR_BENCH_PROFILE=0): device idle vs
+            # in-kernel serialization cannot be told apart — say so
+            # instead of guessing (earlier sweep rows mislabeled this
+            # case "host/dispatch")
+            bound = "unprofiled (compute %.2f / hbm %.4f of peak)" % (
+                vpu_util, hbm_util
+            )
+        elif busy > 0.85:
             bound = "in-kernel issue/serialization (plane sublane fill %d/%d)" % (
                 B, -(-B // 8) * 8
             )
         else:
-            bound = "host/dispatch (device idle)"
+            bound = "host/dispatch (device idle %.2f busy)" % busy
         util = {
             "tflops_plane_basis": round(achieved / 1e12, 3),
             "vpu_util": round(vpu_util, 3),
