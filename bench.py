@@ -278,22 +278,29 @@ def main():
                 INTERVAL, model.n_links, model.n_qd,
                 with_res=False, with_act=False, contacts_flat=cfl,
             )
-            # record kernel-structure choices in the artifact so bench
-            # rows are self-describing (which residuals mode / contact
-            # layout each measurement actually ran)
-            kernel_detail.update(
-                e_tile=et,
-                contact_layout="flat" if cfl else "loop",
-                residuals=pick_residuals_mode(
-                    INTERVAL, model.n_links, model.n_qd, et,
-                    with_res=False, with_act=False, contacts_flat=cfl,
-                ),
-            )
             print("e_tile: %d%s" % (et, " (flat contacts)" if cfl else ""),
                   file=sys.stderr)
             chunks = plan_chunks(
                 INTERVAL, model.n_links, model.n_qd, et,
                 with_res=False, with_act=False, contacts_flat=cfl,
+            )
+            # record kernel-structure choices in the artifact so bench
+            # rows are self-describing (which residuals mode / contact
+            # layout each measurement actually ran). The mode resolves
+            # PER CHUNK inside make_diff_interval, so on split plans the
+            # full-interval resolution could differ from what executes —
+            # record the union of the actual per-chunk picks
+            modes = sorted({
+                pick_residuals_mode(
+                    sz, model.n_links, model.n_qd, et,
+                    with_res=False, with_act=False, contacts_flat=cfl,
+                )
+                for sz in chunks
+            })
+            kernel_detail.update(
+                e_tile=et,
+                contact_layout="flat" if cfl else "loop",
+                residuals="+".join(modes),
             )
             if len(chunks) > 1:
                 print("vmem plan: %d chunks %s" % (len(chunks), chunks),
@@ -336,6 +343,9 @@ def main():
             print("soa engine failed (%s); falling back to xla" % type(e).__name__,
                   file=sys.stderr)
             ENGINE = "xla"
+            # the soa kernel-structure fields describe a kernel that will
+            # not run — do not attach them to the fallback measurement
+            kernel_detail.clear()
     if MODE != "train" and ENGINE != "soa":
         run_jit, n_intervals, steps_eff = build_xla()
         jax.block_until_ready(run_jit(state, n_intervals))
@@ -393,12 +403,25 @@ def main():
     # 8-sublane register tile (laikago B=13 -> 13/16 after padding) and
     # the substep's dependency chain (joints -> integrate) serializes
     # many small VPU ops — documented in BENCHMARKS.md "Roofline".
+    # The plane-basis flop count, the analytic HBM model ("everything
+    # between substeps is VMEM-resident"), and the sublane-fill bound
+    # classifier all describe the SoA pallas kernels — running them
+    # against an XLA-engine measurement (requested, or the silent
+    # soa->xla fallback above) would label an XLA scan with a diagnosis
+    # of a kernel that never ran.
     util = {}
+    if ENGINE != "soa":
+        util["bound"] = (
+            "n/a (xla engine: plane-basis roofline describes the soa "
+            "kernels only)"
+        )
     try:
         from ppr_diffphys_tpu.sim.pallas_soa import (
             build_soa_static, traced_planes as _tplanes,
         )
 
+        if ENGINE != "soa":
+            raise RuntimeError("skip: roofline basis is soa-only")
         substep_p, consts_p, meta_p = build_soa_static(integ, 5e-4)
         Cp = dict(consts_p)
         Cp.update(_tplanes(model, params))
@@ -484,7 +507,8 @@ def main():
             "bound": bound,
         }
     except Exception as e:
-        print("roofline analysis failed: %r" % (e,), file=sys.stderr)
+        if not str(e).startswith("skip:"):
+            print("roofline analysis failed: %r" % (e,), file=sys.stderr)
 
     env_steps_per_sec = E * STEPS / dt
     print(

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -226,7 +227,8 @@ class RolloutServer:
         if grid not in self._fns:
             print(
                 f"RolloutServer: building {'grid' if grid else 'per-env'} "
-                f"prologue (engine={self.engine}, e_tile={self.e_tile})"
+                f"prologue (engine={self.engine}, e_tile={self.e_tile})",
+                file=sys.stderr,
             )
             self._fns[grid] = self._build(grid_prologue=grid)
         fs = jnp.asarray(k_host, jnp.float32)

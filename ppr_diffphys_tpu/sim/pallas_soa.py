@@ -65,6 +65,23 @@ def _pad8_128(d: int, m: int) -> int:
     return -(-d // m) * m
 
 
+def flat_chunk_rows(contacts_flat: int) -> int:
+    """Rows of the flat-contact piece the kernel holds LIVE at once:
+    the whole array for the monolithic layout (auto at C <= FLAT_MAX_C,
+    or the forced 'flat-mono' bench switch at ANY C), FLAT_CHUNK_C per
+    chunk for the chunked layout. The VMEM estimators must size contact
+    temporaries/vjp-residuals with this — deriving it from the total
+    alone assumed chunking whenever C > FLAT_MAX_C and underestimated a
+    forced flat-mono kernel ~5-11x (round-5 review finding)."""
+    import os
+
+    if contacts_flat <= FLAT_MAX_C:
+        return contacts_flat
+    if os.environ.get("PPR_SOA_CONTACT_LAYOUT") == "flat-mono":
+        return contacts_flat
+    return FLAT_CHUNK_C
+
+
 def estimate_window_vmem(
     substeps: int, B: int, n_qd: int, e_tile: int, contacts_cm: int = 64,
     contacts_flat: int = 0,
@@ -90,9 +107,10 @@ def estimate_window_vmem(
     ) * f
     if contacts_flat:
         Cfp = _pad8_128(contacts_flat, 8)
-        # chunked flat (C > FLAT_MAX_C): temporaries are per-CHUNK (Cc,E)
-        # planes, not whole-(Cf,E) — the fori_loop boundary bounds them
-        Cc = contacts_flat if contacts_flat <= FLAT_MAX_C else FLAT_CHUNK_C
+        # chunked flat (C > FLAT_MAX_C, unless flat-mono is forced):
+        # temporaries are per-PIECE (Cc,E) planes, not whole-(Cf,E) —
+        # the fori_loop boundary bounds them
+        Cc = flat_chunk_rows(contacts_flat)
         statics += (2 * Cfp * _pad8_128(B, 128) + 8 * Cfp * 128) * f
         temps = 24 * _pad8_128(Cc, 8) * et * f + 30 * Bp * et * f
     else:

@@ -203,14 +203,20 @@ def make_diff_interval(
         return substep(bq, bqd, tgt_i, act_i, C, res=res_i)
 
     # ---- forward kernel ------------------------------------------------
-    def fwd_kernel(*refs):
+    # built in two variants: with the (S,19,B,E) residual export (the AD
+    # forward in 'resid' mode) and WITHOUT it (the primal-only call —
+    # pallas outputs cannot be DCE'd, so a primal-only caller of the
+    # sr-exporting kernel would pay the export's HBM writes + VMEM
+    # double-buffering for an output it discards; round-5 review finding)
+    def _make_fwd_kernel(with_sr):
+      def fwd_kernel(*refs):
         bq_ref, bqd_ref = refs[:2]
         tgt_ref, act_ref, res_ref = _parse_seq_refs(refs)
         static_refs = refs[n_in : n_in + n_static]
         traced_refs = refs[n_in + n_static : n_in + n_tr + n_static]
         out_refs = refs[n_in + n_tr + n_static :]
         out_q_ref, out_qd_ref = out_refs[:2]
-        sr_ref = out_refs[2] if residuals == "resid" else None
+        sr_ref = out_refs[2] if with_sr else None
         C_static = load_consts(static_names, static_refs)
         traced = tuple(r[:] for r in traced_refs)
 
@@ -237,6 +243,13 @@ def make_diff_interval(
         bq, bqd = jax.lax.fori_loop(0, S, body, (bq_ref[:], bqd_ref[:]))
         out_q_ref[:] = bq
         out_qd_ref[:] = bqd
+
+      return fwd_kernel
+
+    fwd_kernels = {
+        with_sr: _make_fwd_kernel(with_sr)
+        for with_sr in ({False, residuals == "resid"})
+    }
 
     # ---- backward kernel -----------------------------------------------
     def bwd_kernel(*refs):
@@ -437,9 +450,10 @@ def make_diff_interval(
     def _sr_spec(et):
         return _spec((S, 19, B, et), lambda i: (0, 0, 0, i))
 
-    def fwd_call(bq, bqd, tgt, act, res, *traced):
+    def fwd_call(bq, bqd, tgt, act, res, *traced, with_sr=False):
         """Returns (bq', bqd')[, sr] — sr = the (S,19,B,E) per-substep
-        primal export in 'resid' mode (handed to bwd_call as residuals)."""
+        primal export, emitted only when ``with_sr`` (the AD forward in
+        'resid' mode; primal-only calls use the export-free variant)."""
         E = bq.shape[-1]
         et = _tile(E)
         grid = (E // et,)
@@ -450,14 +464,14 @@ def make_diff_interval(
             jax.ShapeDtypeStruct((7, B, E), F32),
             jax.ShapeDtypeStruct((6, B, E), F32),
         )
-        if residuals == "resid":
+        if with_sr:
             out_specs = out_specs + (_sr_spec(et),)
             out_shape = out_shape + (
                 jax.ShapeDtypeStruct((S, 19, B, E), F32),
             )
         ins = (bq, bqd) + _seq_ins(tgt, act, res)
         return pl.pallas_call(
-            fwd_kernel,
+            fwd_kernels[with_sr],
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -522,13 +536,15 @@ def make_diff_interval(
 
     @jax.custom_vjp
     def interval_t(bq, bqd, tgt, act, res, traced):
-        out = fwd_call(bq, bqd, tgt, act, res, *traced)
-        return out[:2] if residuals == "resid" else out
+        # primal-only call: never emit the residual export (discarded
+        # pallas outputs still cost their HBM writes)
+        return fwd_call(bq, bqd, tgt, act, res, *traced, with_sr=False)
 
     def interval_fwd(bq, bqd, tgt, act, res, traced):
-        out = fwd_call(bq, bqd, tgt, act, res, *traced)
+        want_sr = residuals == "resid"
+        out = fwd_call(bq, bqd, tgt, act, res, *traced, with_sr=want_sr)
         sr = None
-        if residuals == "resid":
+        if want_sr:
             sr = out[2]
             out = out[:2]
         return out, (bq, bqd, tgt, act, res, sr, traced)
@@ -621,12 +637,15 @@ def estimate_interval_vmem(
         # (Cf,1) constants, and the flat-contact vjp holds per-PIECE
         # (rows,E) forward intermediates as residuals through the reverse
         # sweep (~24 planes) plus reverse temporaries. Monolithic
-        # (C <= FLAT_MAX_C): the piece is all Cf rows. Chunked: the
-        # per-chunk fori_loop bounds residuals to FLAT_CHUNK_C rows.
-        from .pallas_soa import FLAT_CHUNK_C, FLAT_MAX_C
+        # (C <= FLAT_MAX_C, or forced flat-mono): the piece is all Cf
+        # rows. Chunked: the per-chunk fori_loop bounds residuals to
+        # FLAT_CHUNK_C rows. flat_chunk_rows resolves which applies
+        # (including the PPR_SOA_CONTACT_LAYOUT=flat-mono bench switch
+        # the old total-only rule ignored, underestimating ~5-11x).
+        from .pallas_soa import flat_chunk_rows
 
         Cfp = _pad(contacts_flat, 8)
-        Cc = contacts_flat if contacts_flat <= FLAT_MAX_C else FLAT_CHUNK_C
+        Cc = flat_chunk_rows(contacts_flat)
         statics += (2 * Cfp * _pad(B, 128) + 8 * Cfp * 128) * f
         temps = 48 * _pad(Cc, 8) * et * f + 30 * Bp * et * f
     else:

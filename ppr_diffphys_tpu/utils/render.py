@@ -62,7 +62,12 @@ class SoftwareRenderer:
         fl = max(self.H, self.W)
         self.K = np.array([fl, fl, self.W / 2, self.H / 2], np.float32)
         self.scene_to_cam = np.eye(4, dtype=np.float32)
-        self.light_dir = np.array([0.3, 0.8, 0.5], np.float32)
+        # light travel direction in WORLD coordinates (the reference's
+        # DirectionalLight pose lives in the scene, pyrender_wrapper.py:30,
+        # so the light stays fixed while the camera moves); rotated into
+        # camera space per render() call. Default: tilted overhead light
+        # for the y-up sim world.
+        self.light_dir = np.array([0.3, -0.8, 0.5], np.float32)
         self.light_dir /= np.linalg.norm(self.light_dir)
         self.set_camera_default()
 
@@ -119,14 +124,22 @@ class SoftwareRenderer:
         return out
 
     def set_light_topdown(self, gl=False):
-        """Top-down directional light (reference pyrender_wrapper.py:73-79)."""
-        self.light_dir = np.array([0.0, 1.0, 0.0], np.float32)
+        """Top-down directional light, fixed in WORLD space (reference
+        pyrender_wrapper.py:73-79: light travel = Rodrigues(±pi/2 about x)
+        applied to the light's -z axis -> (0,-1,0) for gl=True y-up
+        worlds, (0,1,0) for gl=False y-down worlds)."""
+        self.light_dir = np.array(
+            [0.0, -1.0, 0.0] if gl else [0.0, 1.0, 0.0], np.float32
+        )
 
     def align_light_to_camera(self):
-        """Point the light along the camera axis
-        (reference pyrender_wrapper.py:81-82)."""
+        """Point the light along the camera viewing axis (reference
+        pyrender_wrapper.py:81-82: light_pose = inv(scene_to_cam), whose
+        -z column is the camera's viewing direction in the scene). The
+        CV camera looks along +z, so the world-space travel direction is
+        R^T @ (0,0,1)."""
         self.light_dir = np.ascontiguousarray(
-            -self.scene_to_cam[:3, :3].T @ np.array([0, 0, 1.0], np.float32)
+            self.scene_to_cam[:3, :3].T @ np.array([0, 0, 1.0], np.float32)
         )
 
     # -- render ---------------------------------------------------------
@@ -138,6 +151,12 @@ class SoftwareRenderer:
         # the rasterizer consumes; no GL flip needed
         vc = v @ self.scene_to_cam[:3, :3].T + self.scene_to_cam[:3, 3][None]
         vc = np.ascontiguousarray(vc, np.float32)
+        # rotate the world-space light into camera space (the rasterizer
+        # shades with camera-space normals)
+        l_cam = self.scene_to_cam[:3, :3] @ self.light_dir
+        l_cam = np.ascontiguousarray(
+            l_cam / max(np.linalg.norm(l_cam), 1e-12), np.float32
+        )
         f = np.ascontiguousarray(faces, np.int32)
         c = np.ascontiguousarray(colors, np.uint8)
         img = np.full((self.H, self.W, 3), background, np.uint8)
@@ -146,7 +165,7 @@ class SoftwareRenderer:
             _cptr(f, ctypes.c_int32), len(f),
             _cptr(c, ctypes.c_uint8),
             _cptr(self.K, ctypes.c_float),
-            _cptr(self.light_dir, ctypes.c_float),
+            _cptr(l_cam, ctypes.c_float),
             self.H, self.W,
             _cptr(img, ctypes.c_uint8),
         )

@@ -225,6 +225,8 @@ class PhysVisualizer:
             img_size = (256, 256)
             scale = 1.0
         renderer = SoftwareRenderer(*img_size)
+        # world-fixed top-down light, y-up world (reference vis.py:77)
+        renderer.set_light_topdown(gl=True)
         cameras = data.get("camera")  # (F, 4, 4) rt rows 0-2, intrinsics row 3
         streams = {"target": [], "sim": [], "control_ref": []}
         if "distilled_traj" in data:

@@ -93,7 +93,11 @@ def main():
     jax = _init_devices()
     dev = str(jax.devices()[0])
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    for ev in ("auto", "xla"):
+    # 'soa' (forced padded training-kernel eval) vs 'xla': after the
+    # round-5 routing flip 'auto' resolves to 'xla', so measuring 'auto'
+    # would time the XLA arm twice and the comparison this script exists
+    # for (padded-soa vs XLA eval) would be unreproducible
+    for ev in ("soa", "xla"):
         row = measure(jax, ev, seqname=args.seqname)
         row["device"] = dev
         with open(args.out, "a") as f:

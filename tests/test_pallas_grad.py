@@ -740,3 +740,43 @@ def test_pick_e_tile_template_grid():
         assert mode == want_mode, ((sub, B, n_qd), mode, want_mode)
         # the chosen tile really is single-kernel
         assert plan_chunks(sub, B, n_qd, et, with_act=False) == [sub]
+
+
+def test_vmem_estimators_honor_forced_flat_mono(monkeypatch):
+    """The VMEM planners must size flat-contact temporaries by the rows
+    the kernel holds LIVE: with PPR_SOA_CONTACT_LAYOUT=flat-mono forced
+    at dense-contact scale (laikago Cf=1456), the monolithic vjp keeps
+    ALL rows' residuals — the old total-only rule assumed chunking
+    (256 rows) and under-budgeted ~5x, making pick_e_tile select tiles
+    the kernel then VMEM-OOMs on (round-5 review finding)."""
+    from ppr_diffphys_tpu.sim.pallas_soa import (
+        estimate_window_vmem, flat_chunk_rows,
+    )
+    from ppr_diffphys_tpu.sim.pallas_soa_grad import (
+        estimate_interval_vmem, pick_e_tile,
+    )
+
+    Cf = 1456  # laikago hull candidates, 8-padded
+    # default (chunked) rule
+    assert flat_chunk_rows(Cf) == 256
+    base_iv = estimate_interval_vmem(
+        33, 13, 18, 256, with_act=False, contacts_flat=Cf
+    )
+    base_win = estimate_window_vmem(33, 13, 18, 256, contacts_flat=Cf)
+    et_base = pick_e_tile(33, 13, 18, with_act=False, contacts_flat=Cf)
+
+    monkeypatch.setenv("PPR_SOA_CONTACT_LAYOUT", "flat-mono")
+    assert flat_chunk_rows(Cf) == Cf
+    mono_iv = estimate_interval_vmem(
+        33, 13, 18, 256, with_act=False, contacts_flat=Cf
+    )
+    mono_win = estimate_window_vmem(33, 13, 18, 256, contacts_flat=Cf)
+    # monolithic residuals dwarf the chunked ones (~Cf/256 on the
+    # contact-temporary term)
+    assert mono_iv > 2 * base_iv, (mono_iv, base_iv)
+    assert mono_win > base_win
+    # and the tile planner reacts: a smaller (or equal) tile than the
+    # chunked plan's, never a larger one it cannot afford
+    et_mono = pick_e_tile(33, 13, 18, with_act=False, contacts_flat=Cf)
+    assert et_mono <= et_base, (et_mono, et_base)
+    assert et_mono <= 256
